@@ -1,0 +1,70 @@
+"""Exhaustive Spark BM25 vs the independent numpy oracle —
+score-identical (float64 exact: same impacts, same summation order)
+and rank-identical (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from documentindex_spark import oracle
+from documentindex_spark.functions.tokenize import doc_lengths, term_frequencies
+from documentindex_spark.operators.bm25 import impacts, score_query, topk
+from documentindex_spark.operators.stats import (
+    corpus_stats,
+    document_frequencies,
+)
+
+QUERIES = [
+    "merge block",
+    "the",
+    "index0 token1 parse2",
+    "def class return",
+    "zzzz_not_in_vocab merge",  # OOV term mixed with in-vocab
+    "zzzz_only_oov",            # fully OOV → empty result
+]
+
+
+@pytest.fixture(scope="module")
+def impact_df(spark, repo_files_small):
+    tf = term_frequencies(repo_files_small)
+    dl = doc_lengths(repo_files_small)
+    stats = corpus_stats(dl)
+    dfreq = document_frequencies(tf)
+    df = impacts(tf, dl, dfreq, stats).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def orc(local_docs):
+    return oracle.OracleIndex(local_docs)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_exhaustive_rank_and_score_identity(impact_df, orc, query):
+    k = 10
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in topk(score_query(impact_df, query), k).orderBy("rank").collect()
+    ]
+    want = orc.topk(query, k)
+    assert [d for d, _ in got] == [d for d, _ in want], "rank identity"
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-12), f"doc {gd} score"
+
+
+def test_all_matches_threshold_mode(impact_df, orc):
+    """Provenance 'find ALL evidence' semantics: threshold filter,
+    no limit (reference provenance.py:84-139)."""
+    query = "merge block"
+    th = 1.0
+    got = sorted(
+        (int(r["doc_id"]), float(r["score"]))
+        for r in score_query(impact_df, query)
+        .filter("score >= %f" % th)
+        .collect()
+    )
+    want = sorted(orc.all_matches(query, th))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-12)

@@ -1,0 +1,88 @@
+"""Local replica of the driver's correctness gate.
+
+Runs entry(spark) as a smoke check, then every queries()[name] at the
+given sf against oracle_sql()[name] in DuckDB (views pre-registered
+from the parquet files), comparing row count, column names, and an
+order-insensitive value comparison. Exit 1 on any mismatch.
+
+Usage: python tools/driver_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from documentindex_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("driver-check", master="local[8]", shuffle_partitions=8)
+
+    t0 = time.time()
+    out = entrymod.entry(spark)
+    rows = out.collect()
+    print(f"entry(): {len(rows)} rows, schema={out.schema.simpleString()}, "
+          f"{time.time()-t0:.1f}s")
+    assert len(rows) >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        got = fn(spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"  {name}: rows-only check, {len(got)} rows, "
+                  f"{time.time()-t0:.1f}s")
+            continue
+        want = con.execute(oracles[name]).df()
+        g, w = normalize(got), normalize(want)
+        ok_rows = len(g) == len(w)
+        ok_cols = list(g.columns) == list(w.columns)
+        ok_vals = ok_rows and ok_cols and g.equals(w)
+        status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        print(f"  {name}: {status} rows={len(g)}/{len(w)} cols={ok_cols} "
+              f"vals={ok_vals} {time.time()-t0:.1f}s")
+        if status == "FAIL":
+            failed.append(name)
+            print("   spark:", g.head(5).to_dict("records"))
+            print("   duckdb:", w.head(5).to_dict("records"))
+            if ok_rows and ok_cols:
+                diff = (g != w).any(axis=1)
+                print("   first diffs:", g[diff].head(3).to_dict("records"),
+                      w[diff].head(3).to_dict("records"))
+    print("FAILED:" if failed else "ALL OK", failed)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
