@@ -1,0 +1,118 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures the two north-rule metrics at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+  1. index-build throughput (docs/sec) — full pipeline: tokenize →
+     TF → stats → impacts → salted partial segments → shuffle-merge →
+     bucket-partitioned parquet index;
+  2. top-k BM25 query latency — the reference query set through the
+     Block-Max WAND scorer over the compressed index (per-query
+     seconds in "queries", p50/p95 summarized).
+
+Scaling-efficiency evidence (N vs 4N cores) lives in
+tools/bench_scaling.py → BENCH/BASELINE.md, not here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from documentindex_spark.corpus import generate_repo_files  # noqa: E402
+from documentindex_spark.operators.bmw import bmw_topk  # noqa: E402
+from documentindex_spark.plans.build_index import build_index  # noqa: E402
+from documentindex_spark.session import get_spark  # noqa: E402
+from documentindex_spark.sources.registry import with_doc_ids  # noqa: E402
+
+# Reference query set (FIXTURES.md §3 shape): single/two/three-term +
+# hot-term and OOV edge cases, over the source-code corpus vocabulary.
+QUERY_SET = {
+    "q1_single_rare": "shard7",
+    "q2_single_hot": "the",
+    "q3_two": "merge0 block3",
+    "q4_two_hot": "import def",
+    "q5_three": "index1 token2 parse3",
+    "q6_three_mixed": "return hash4 queue9",
+    "q7_oov_mix": "merge1 zzzznotaterm",
+    "q8_hot_stack": "the import def return class for if data",
+}
+
+# FIXTURES.md sizing: bench (sf0.1-equivalent) = 20,000 source files.
+FILES_PER_SF = 200_000
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(
+        "documentindex-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out_dir = tempfile.mkdtemp(prefix="dix-bench-")
+    t_all = time.time()
+    try:
+        n_files = max(500, int(FILES_PER_SF * sf))
+        docs = with_doc_ids(generate_repo_files(spark, n_files))
+        n_docs = n_files
+
+        t0 = time.time()
+        built = build_index(
+            spark,
+            docs,
+            out_dir,
+            input_id=f"corpus@{n_files}",
+            bucket_groups=1,
+        )
+        build_s = time.time() - t0
+        files_per_sec = n_docs / build_s
+
+        # warm the index scan once (JIT/IO), then measure per query
+        bmw_topk(spark, built.postings_path, {0: "warmup"}, k=10).collect()
+        q_times: dict[str, float] = {}
+        topk_rows = 0
+        for name, q in QUERY_SET.items():
+            t0 = time.time()
+            rows = bmw_topk(spark, built.postings_path, {0: q}, k=10).collect()
+            q_times[name] = round(time.time() - t0, 4)
+            topk_rows += len(rows)
+        lat = sorted(q_times.values())
+        total_s = time.time() - t_all
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build_plus_topk_bench",
+                    "value": round(total_s, 3),
+                    "unit": "sec",
+                    "queries": q_times,
+                    "sf": sf,
+                    "n_docs": n_docs,
+                    "build_sec": round(build_s, 3),
+                    "build_docs_per_sec": round(files_per_sec, 1),
+                    "query_p50_sec": round(statistics.median(lat), 4),
+                    "query_p95_sec": round(
+                        lat[max(0, int(len(lat) * 0.95) - 1)], 4
+                    ),
+                    "topk_rows": topk_rows,
+                    "cpus": int(cpus),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,8 @@ def impacts(
         .select(
             "doc_id",
             "term",
+            "tf",
+            "df",
             (
                 idf_col(F.col("df").cast("double"), stats.n_docs)
                 * tf_norm_col(
@@ -67,6 +69,8 @@ def impacts(
             ).alias("impact"),
         )
     )
+    # tf/df are carried for the posting-list builder (postings.py);
+    # query paths select only (doc_id, term, impact) — Catalyst prunes.
 
 
 def _ordered_sum(df_grouped_terms: DataFrame) -> DataFrame:

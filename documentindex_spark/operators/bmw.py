@@ -1,0 +1,277 @@
+"""Block-Max WAND top-k over the compressed term-partitioned index
+(Ding & Suel, SIGIR 2011) — SURVEY.md M3, north rule query path.
+
+EXACT: block-max values are true per-block maxima of the precomputed
+float64 impacts, skip decisions use ``<= θ`` only when the heap is
+full (a doc that can only TIE the k-th score loses the
+(score DESC, doc_id ASC) tie-break anyway, because WAND evaluates
+candidates in ascending doc_id), and full evaluation sums impacts in
+ascending-term order — so results are rank- AND score-identical to
+the exhaustive scorer (asserted in tests/test_bmw.py).
+
+Replaces the reference's full LLM scan
+(/root/reference/src/documentindex/searcher.py:81-138: score every
+node, sort, limit) with sub-linear skipping.
+
+Execution shape: ``queries ⋈ postings on term`` (bucket partition
+pruning + term predicate pushed to the parquet scan) →
+``groupBy(query_id).applyInPandas(BMW)`` — queries score in parallel
+across the cluster; each task touches only its terms' segments.
+Per-query work is numpy-over-blocks; the Python loop is over pivots,
+not postings.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..constants import TOPK_DEFAULT
+from ..functions.tokenize import query_terms
+from .codec import Segment
+from .postings import row_to_segment, term_bucket
+
+_INF = np.iinfo(np.int64).max
+
+
+class _Cursor:
+    """Forward-only cursor over one term's segments (min_doc ordered).
+
+    Blocks decode lazily and are cached; ``advance_to`` uses
+    searchsorted over block_max_doc, then within the block.
+    """
+
+    __slots__ = (
+        "term", "segs", "seg_i", "blk_i", "pos", "ub",
+        "_loaded", "_cur_docs", "_cur_imps",
+    )
+
+    def __init__(self, term: str, segments: list[Segment]):
+        self.term = term
+        self.segs = sorted(segments, key=lambda s: s.min_doc_id)
+        self.ub = max(float(s.block_max_impact.max()) for s in self.segs)
+        self.seg_i = 0
+        self.blk_i = 0
+        self.pos = 0
+        self._loaded: tuple[int, int] | None = None
+        self._cur_docs: np.ndarray | None = None
+        self._cur_imps: np.ndarray | None = None
+        self._load_block()
+
+    def _load_block(self) -> None:
+        if self.seg_i >= len(self.segs):
+            self._cur_docs = None
+            self._loaded = None
+            return
+        if self._loaded == (self.seg_i, self.blk_i):
+            return
+        self._cur_docs, self._cur_imps = self.segs[self.seg_i].decode_block(
+            self.blk_i
+        )
+        self._loaded = (self.seg_i, self.blk_i)
+
+    @property
+    def exhausted(self) -> bool:
+        return self._cur_docs is None
+
+    def cur_doc(self) -> int:
+        if self._cur_docs is None:
+            return _INF
+        return int(self._cur_docs[self.pos])
+
+    def cur_impact(self) -> float:
+        return float(self._cur_imps[self.pos])
+
+    def block_max_doc(self) -> int:
+        """Last doc_id of the current block (skip boundary)."""
+        if self._cur_docs is None:
+            return _INF
+        return int(self.segs[self.seg_i].block_max_doc[self.blk_i])
+
+    def block_ub(self, d: int) -> float:
+        """Max impact of the block that would contain the first
+        posting ≥ d (shallow move — no decode)."""
+        seg_i, blk_i = self.seg_i, self.blk_i
+        while seg_i < len(self.segs):
+            seg = self.segs[seg_i]
+            if d <= seg.max_doc_id:
+                if seg_i == self.seg_i:
+                    b = blk_i + int(
+                        np.searchsorted(seg.block_max_doc[blk_i:], d)
+                    )
+                else:
+                    b = int(np.searchsorted(seg.block_max_doc, d))
+                if b < seg.n_blocks:
+                    return float(seg.block_max_impact[b])
+            seg_i += 1
+            blk_i = 0
+        return 0.0
+
+    def advance_to(self, d: int) -> None:
+        """Move to the first posting with doc_id ≥ d."""
+        while self.seg_i < len(self.segs):
+            seg = self.segs[self.seg_i]
+            if d > seg.max_doc_id:
+                self.seg_i += 1
+                self.blk_i = 0
+                self.pos = 0
+                continue
+            start_blk = self.blk_i if self._loaded and self._loaded[0] == self.seg_i else 0
+            b = start_blk + int(
+                np.searchsorted(seg.block_max_doc[start_blk:], d)
+            )
+            self.blk_i = b
+            self._load_block()
+            # block b has block_max_doc >= d, so the target is inside
+            self.pos = int(np.searchsorted(self._cur_docs, d))
+            return
+        self._cur_docs = None
+        self._loaded = None
+
+    def next(self) -> None:
+        self.pos += 1
+        if self._cur_docs is not None and self.pos >= len(self._cur_docs):
+            self.blk_i += 1
+            self.pos = 0
+            if self.blk_i >= self.segs[self.seg_i].n_blocks:
+                self.seg_i += 1
+                self.blk_i = 0
+            self._load_block()
+
+
+def bmw_topk_local(
+    segments_by_term: dict[str, list[Segment]], k: int = TOPK_DEFAULT
+) -> list[tuple[int, float]]:
+    """Pure-Python/numpy BMW over in-memory segments → top-k
+    [(doc_id, score)] sorted (score DESC, doc_id ASC)."""
+    if k <= 0:
+        return []
+    cursors = [_Cursor(t, segs) for t, segs in segments_by_term.items() if segs]
+    cursors = [c for c in cursors if not c.exhausted]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id): min = worst
+
+    while cursors:
+        cursors.sort(key=lambda c: c.cur_doc())
+        theta = heap[0][0] if len(heap) >= k else float("-inf")
+        # --- pivot selection on GLOBAL term upper bounds
+        acc = 0.0
+        pivot_i = -1
+        for i, c in enumerate(cursors):
+            acc += c.ub
+            if acc > theta:
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break  # no remaining doc can beat θ
+        pivot_doc = cursors[pivot_i].cur_doc()
+        if pivot_doc == _INF:
+            break
+
+        if cursors[0].cur_doc() == pivot_doc:
+            # --- block-max refinement (shallow, no decode)
+            block_acc = sum(
+                c.block_ub(pivot_doc) for c in cursors[: pivot_i + 1]
+            )
+            if block_acc <= theta and len(heap) >= k:
+                # skip to just past the nearest block boundary
+                d_next = (
+                    min(c.block_max_doc() for c in cursors[: pivot_i + 1]) + 1
+                )
+                cursors[0].advance_to(max(d_next, pivot_doc + 1))
+            else:
+                # --- full evaluation, ascending-term summation order
+                parts = []
+                for c in cursors:
+                    if c.cur_doc() > pivot_doc:
+                        break
+                    c.advance_to(pivot_doc)
+                    if c.cur_doc() == pivot_doc:
+                        parts.append((c.term, c.cur_impact()))
+                score = 0.0
+                for _, imp in sorted(parts):
+                    score += imp
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot_doc))
+                elif score > heap[0][0]:
+                    heapq.heapreplace(heap, (score, -pivot_doc))
+                for c in cursors:
+                    if c.cur_doc() == pivot_doc:
+                        c.next()
+        else:
+            cursors[0].advance_to(pivot_doc)
+        cursors = [c for c in cursors if not c.exhausted]
+
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return [(d, s) for d, s in out]
+
+
+# --------------------------------------------------------- Spark layer
+
+BMW_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ]
+)
+
+
+def load_query_postings(
+    spark: SparkSession, index_path: str, terms_by_query: dict[int, list[str]]
+) -> DataFrame:
+    """Read only the posting rows the query batch needs: bucket
+    partition pruning + term predicate, both pushed into the scan."""
+    all_terms = sorted({t for ts in terms_by_query.values() for t in ts})
+    buckets = sorted({term_bucket(t) for t in all_terms})
+    postings = spark.read.parquet(index_path)
+    return postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+    )
+
+
+def bmw_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: dict[int, str],
+    k: int = TOPK_DEFAULT,
+) -> DataFrame:
+    """Batched BMW: (query_id → query text) → DataFrame
+    (query_id, doc_id, score, rank).
+
+    Plan: pruned index scan → broadcast-join the tiny (query_id, term)
+    table → groupBy(query_id).applyInPandas(BMW). Queries run in
+    parallel; every task sees only its own terms' segments.
+    """
+    terms_by_query = {qid: query_terms(q) for qid, q in queries.items()}
+    pairs = [
+        (qid, t) for qid, ts in terms_by_query.items() for t in ts
+    ]
+    if not pairs:
+        return spark.createDataFrame([], BMW_RESULT_SCHEMA)
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    seg_rows = load_query_postings(spark, index_path, terms_by_query)
+    joined = seg_rows.join(F.broadcast(qdf), "term")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        by_term: dict[str, list[Segment]] = {}
+        for _, row in pdf.iterrows():
+            by_term.setdefault(row["term"], []).append(row_to_segment(row))
+        top = bmw_topk_local(by_term, k)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": [d for d, _ in top],
+                "score": [s for _, s in top],
+                "rank": np.arange(1, len(top) + 1, dtype=np.int32),
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(run, BMW_RESULT_SCHEMA)

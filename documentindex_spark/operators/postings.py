@@ -1,0 +1,199 @@
+"""Posting-list construction — the index build core (SURVEY.md M2,
+north rule: "build per-partition sorted posting lists ... then
+shuffle-merge them into a global term-partitioned inverted index with
+salted repartitioning for hot-term skew").
+
+Two grouped stages, both Arrow-batched:
+
+1. **Salted partial build** — every (term, doc) impact row gets a
+   ``shard`` = floor(doc_id / shard_width(term)); shard count scales
+   with the term's df (hot terms → many shards, rare terms → 1), so
+   no single reducer ever owns a whole stopword. Range-sharding by
+   doc_id (not hash-salting) is deliberate: shard doc-id ranges are
+   DISJOINT and ordered, so the merge is a concatenation of
+   pre-sorted runs — no re-sort. ``groupBy(term, shard)
+   .applyInPandas`` sorts its group by doc_id and encodes one partial
+   segment (delta+varbyte blocks + block-max metadata, codec.py).
+
+2. **Shuffle-merge** — ``groupBy(term).applyInPandas`` receives the
+   ≤S compressed partial segments of a term (bytes, not postings —
+   the second shuffle moves ~100× less data), concatenates them in
+   min_doc_id order, and re-encodes into final segments capped at
+   MAX_SEGMENT_POSTINGS so a 10^12-scale stopword becomes many
+   bounded rows instead of one unbounded blob. Single-shard terms
+   within the cap pass their blobs through untouched.
+
+The stored index is partitioned by ``bucket = crc32(term) %
+NUM_TERM_BUCKETS`` — query-side partition pruning reads only the
+buckets of the query's terms.
+
+AQE's skew handling only splits join/shuffle-read skew, not hot
+groupBy keys — this explicit salting is required (SURVEY.md §4.2.1).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..constants import (
+    MAX_SEGMENT_POSTINGS,
+    NUM_TERM_BUCKETS,
+    POSTINGS_PER_SHARD,
+)
+from .codec import Segment, encode_segment
+
+# ------------------------------------------------------------- schemas
+
+SEGMENT_FIELDS = [
+    T.StructField("term", T.StringType()),
+    T.StructField("df", T.LongType()),
+    T.StructField("seg_idx", T.IntegerType()),
+    T.StructField("n_postings", T.LongType()),
+    T.StructField("min_doc_id", T.LongType()),
+    T.StructField("max_doc_id", T.LongType()),
+    T.StructField("doc_blob", T.BinaryType()),
+    T.StructField("tf_blob", T.BinaryType()),
+    T.StructField("impact_blob", T.BinaryType()),
+    T.StructField("block_n", T.ArrayType(T.IntegerType())),
+    T.StructField("block_max_doc", T.ArrayType(T.LongType())),
+    T.StructField("block_max_impact", T.ArrayType(T.DoubleType())),
+    T.StructField("block_doc_off", T.ArrayType(T.LongType())),
+    T.StructField("block_tf_off", T.ArrayType(T.LongType())),
+]
+SEGMENT_SCHEMA = T.StructType(SEGMENT_FIELDS)
+INDEX_SCHEMA = T.StructType(SEGMENT_FIELDS + [T.StructField("bucket", T.IntegerType())])
+
+
+def term_bucket(term: str) -> int:
+    """Deterministic, language-independent bucket for partition
+    pruning — replicable at query time without Spark."""
+    return zlib.crc32(term.encode("utf-8")) % NUM_TERM_BUCKETS
+
+
+def _segment_to_dict(seg: Segment, seg_idx: int) -> dict:
+    return {
+        "term": seg.term,
+        "df": seg.df,
+        "seg_idx": seg_idx,
+        "n_postings": seg.n_postings,
+        "min_doc_id": seg.min_doc_id,
+        "max_doc_id": seg.max_doc_id,
+        "doc_blob": seg.doc_blob,
+        "tf_blob": seg.tf_blob,
+        "impact_blob": seg.impact_blob,
+        "block_n": seg.block_n.tolist(),
+        "block_max_doc": seg.block_max_doc.tolist(),
+        "block_max_impact": seg.block_max_impact.tolist(),
+        "block_doc_off": seg.block_doc_off.tolist(),
+        "block_tf_off": seg.block_tf_off.tolist(),
+    }
+
+
+def row_to_segment(row) -> Segment:
+    """Rebuild a Segment view from a stored row (Row or dict-like)."""
+    return Segment(
+        term=row["term"],
+        df=int(row["df"]),
+        n_postings=int(row["n_postings"]),
+        min_doc_id=int(row["min_doc_id"]),
+        max_doc_id=int(row["max_doc_id"]),
+        doc_blob=bytes(row["doc_blob"]),
+        tf_blob=bytes(row["tf_blob"]),
+        impact_blob=bytes(row["impact_blob"]),
+        block_n=np.asarray(row["block_n"], dtype=np.int32),
+        block_max_doc=np.asarray(row["block_max_doc"], dtype=np.int64),
+        block_max_impact=np.asarray(row["block_max_impact"], dtype=np.float64),
+        block_doc_off=np.asarray(row["block_doc_off"], dtype=np.int64),
+        block_tf_off=np.asarray(row["block_tf_off"], dtype=np.int64),
+    )
+
+
+# ------------------------------------------------------- stage 1: salted
+
+
+def _encode_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (term, shard) group → one compressed partial segment row."""
+    pdf = pdf.sort_values("doc_id")
+    seg = encode_segment(
+        term=pdf["term"].iloc[0],
+        df=int(pdf["df"].iloc[0]),
+        doc_ids=pdf["doc_id"].to_numpy(np.int64),
+        tfs=pdf["tf"].to_numpy(np.int64),
+        impacts=pdf["impact"].to_numpy(np.float64),
+    )
+    return pd.DataFrame([_segment_to_dict(seg, 0)])
+
+
+def build_partial_segments(
+    impact_tf: DataFrame,
+    n_docs: int,
+    postings_per_shard: int = POSTINGS_PER_SHARD,
+) -> DataFrame:
+    """impact_tf: (doc_id, term, tf, impact, df) → partial segments.
+
+    shard = floor(doc_id / ceil(n_docs / n_shards(term))) with
+    n_shards = ceil(df / postings_per_shard): range-sharded salt.
+    """
+    n_shards = F.ceil(F.col("df") / F.lit(postings_per_shard))
+    shard_width = F.ceil(F.lit(n_docs) / n_shards)
+    salted = impact_tf.withColumn(
+        "shard", F.floor(F.col("doc_id") / shard_width).cast("int")
+    )
+    return salted.groupBy("term", "shard").applyInPandas(
+        _encode_partial, schema=SEGMENT_SCHEMA
+    )
+
+
+# ------------------------------------------------------ stage 2: merge
+
+
+def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
+    """All partial segments of one term → final capped segments."""
+    pdf = pdf.sort_values("min_doc_id")
+    term = pdf["term"].iloc[0]
+    df_ = int(pdf["df"].iloc[0])
+    total = int(pdf["n_postings"].sum())
+
+    if len(pdf) == 1 and total <= MAX_SEGMENT_POSTINGS:
+        out = pdf.iloc[[0]].copy()  # pass-through: blobs reused as-is
+        out["seg_idx"] = 0
+        out["bucket"] = term_bucket(term)
+        return out[[f.name for f in INDEX_SCHEMA.fields]]
+
+    docs, tfs, imps = [], [], []
+    for _, row in pdf.iterrows():
+        d, t, i = row_to_segment(row).decode_all()
+        docs.append(d)
+        tfs.append(t)
+        imps.append(i)
+    doc_ids = np.concatenate(docs)
+    tfs = np.concatenate(tfs)
+    imps = np.concatenate(imps)
+    # shards are disjoint ascending ranges — concatenation IS sorted;
+    # assert rather than re-sort (re-sorting would hide salt bugs).
+    assert bool(np.all(np.diff(doc_ids) > 0)), f"unsorted merge for {term!r}"
+
+    rows = []
+    for seg_idx, start in enumerate(range(0, len(doc_ids), MAX_SEGMENT_POSTINGS)):
+        end = min(start + MAX_SEGMENT_POSTINGS, len(doc_ids))
+        seg = encode_segment(
+            term, df_, doc_ids[start:end], tfs[start:end], imps[start:end]
+        )
+        d = _segment_to_dict(seg, seg_idx)
+        d["bucket"] = term_bucket(term)
+        rows.append(d)
+    return pd.DataFrame(rows)[[f.name for f in INDEX_SCHEMA.fields]]
+
+
+def merge_segments(partial: DataFrame) -> DataFrame:
+    """Shuffle-merge: repartition by term (blobs only — cheap) and
+    concat each term's pre-sorted shard runs into final segments."""
+    return partial.groupBy("term").applyInPandas(
+        _merge_term, schema=INDEX_SCHEMA
+    )

@@ -1,0 +1,193 @@
+"""End-to-end index build pipeline (SURVEY.md §3.1 target trace):
+
+    source table → sha256 invariant → tokenize (built-ins) →
+    TF groupBy → stats aggregates → impact join →
+    salted (term, shard) repartition + applyInPandas encode →
+    shuffle-merge by term → bucket-partitioned Parquet index
+    + doc_map + stats.json + per-partition lineage manifest.
+
+Stage boundaries (= the shuffles Catalyst plans):
+  1. TF hash-agg on (doc_id, term)          [partial+final, map-side combine]
+  2. df hash-agg on term
+  3. salted repartition on (term, shard)    [explicit skew handling]
+  4. merge repartition on term              [moves compressed blobs only]
+
+Checkpointing: three durable stages — 'docs' (doc_id assignment +
+doc_map), 'tf' (tokenize output: the expensive stage whose loss the
+north rule forbids), 'postings' (the index, written in BUCKET GROUPS
+with a manifest row per group so a kill mid-stage resumes at the
+first incomplete group without re-tokenizing anything).
+
+The build is deterministic end-to-end, so resume produces a
+byte-identical index (asserted in tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import NUM_TERM_BUCKETS, POSTINGS_PER_SHARD
+from ..functions.tokenize import doc_lengths, term_frequencies
+from ..operators.bm25 import impacts
+from ..operators.postings import build_partial_segments, merge_segments
+from ..operators.stats import CorpusStats, corpus_stats, document_frequencies
+from .checkpoint import Manifest, stage_fingerprint
+
+
+@dataclass
+class BuiltIndex:
+    out_dir: str
+    n_docs: int
+    avgdl: float
+    n_files: int
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.out_dir, "postings")
+
+    @property
+    def doc_map_path(self) -> str:
+        return os.path.join(self.out_dir, "doc_map")
+
+    @classmethod
+    def open(cls, out_dir: str) -> "BuiltIndex":
+        with open(os.path.join(out_dir, "stats.json")) as f:
+            s = json.load(f)
+        return cls(out_dir=out_dir, **s)
+
+
+def build_index(
+    spark: SparkSession,
+    files: DataFrame,
+    out_dir: str,
+    input_id: str,
+    text_col: str = "content",
+    bucket_groups: int = 4,
+    postings_per_shard: int = POSTINGS_PER_SHARD,
+) -> BuiltIndex:
+    """Build (or resume) the inverted index for ``files``.
+
+    ``files`` must carry a dense ``doc_id`` (sources.registry
+    .with_doc_ids) plus identity columns; ``input_id`` is the caller's
+    stable identifier for the input snapshot (path + version / count)
+    used in checkpoint fingerprints.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    man = Manifest.load(out_dir)
+
+    # ---------------- stage: docs (identity + invariant columns)
+    fp_docs = stage_fingerprint("docs", "", input_id)
+    docs_path = os.path.join(out_dir, "docs")
+    id_cols = [c for c in files.columns if c != text_col]
+    if man.is_complete("docs", fp_docs):
+        man.hits += 1
+    else:
+        man.misses += 1
+        man.begin("docs", fp_docs)
+        t0 = time.time()
+        files.write.mode("overwrite").parquet(docs_path)
+        n = spark.read.parquet(docs_path).count()
+        man.complete("docs", n, docs_path, (time.time() - t0) * 1000)
+    docs = spark.read.parquet(docs_path)
+    n_files = docs.count()
+
+    # ---------------- stage: tf (tokenize — the expensive one)
+    fp_tf = stage_fingerprint("tf", fp_docs, input_id)
+    tf_path = os.path.join(out_dir, "tf")
+    dl_path = os.path.join(out_dir, "dl")
+    if man.is_complete("tf", fp_tf):
+        man.hits += 1
+    else:
+        man.misses += 1
+        man.begin("tf", fp_tf)
+        t0 = time.time()
+        term_frequencies(docs, text_col).write.mode("overwrite").parquet(tf_path)
+        doc_lengths(docs, text_col).write.mode("overwrite").parquet(dl_path)
+        n = spark.read.parquet(tf_path).count()
+        man.complete("tf", n, tf_path, (time.time() - t0) * 1000)
+    tf = spark.read.parquet(tf_path)
+    dl = spark.read.parquet(dl_path)
+
+    stats: CorpusStats = corpus_stats(dl)
+    dfreq = document_frequencies(tf)
+    impact_tf = impacts(tf, dl, dfreq, stats)
+
+    # doc_map: result join-back table (doc_id → identity + dl + sha)
+    doc_map_path = os.path.join(out_dir, "doc_map")
+    if not os.path.exists(os.path.join(doc_map_path, "_SUCCESS")):
+        docs.select(*id_cols).join(dl, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(doc_map_path)
+
+    # ---------------- stage: postings (salted build + shuffle-merge),
+    # written in bucket groups for intra-stage resume.
+    fp_post = stage_fingerprint(
+        "postings", fp_tf, f"{input_id}|shard={postings_per_shard}"
+    )
+    postings_path = os.path.join(out_dir, "postings")
+    if not man.is_complete("postings", fp_post):
+        man.misses += 1
+        man.begin("postings", fp_post)
+        done = man.completed_partitions("postings", fp_post)
+        # bucket = crc32(term) % NUM_TERM_BUCKETS is a pure function of
+        # term, so it's computed BEFORE the grouped encode: the
+        # per-group filter prunes the token stream itself, not the
+        # finished segments — each group does 1/G of the encode work.
+        impact_b = impact_tf.withColumn(
+            "bucket",
+            F.pmod(
+                F.crc32(F.col("term").cast("binary")), F.lit(NUM_TERM_BUCKETS)
+            ).cast("int"),
+        )
+        groups = [
+            [b for b in range(NUM_TERM_BUCKETS) if b % bucket_groups == g]
+            for g in range(bucket_groups)
+        ]
+        for gid, buckets in enumerate(groups):
+            if gid in done:
+                man.hits += 1
+                continue
+            t0 = time.time()
+            part = merge_segments(
+                build_partial_segments(
+                    impact_b.filter(F.col("bucket").isin(buckets)).drop(
+                        "bucket"
+                    ),
+                    stats.n_docs,
+                    postings_per_shard,
+                )
+            )
+            # one subdir per group; globally still partitioned by bucket
+            gpath = os.path.join(postings_path, f"group={gid}")
+            part.write.mode("overwrite").partitionBy("bucket").parquet(gpath)
+            rows = spark.read.parquet(gpath).count()
+            man.record_partition(
+                "postings", gid, rows, gpath, (time.time() - t0) * 1000
+            )
+        t0 = time.time()
+        total = spark.read.parquet(postings_path).count()
+        man.complete("postings", total, postings_path, (time.time() - t0) * 1000)
+    else:
+        man.hits += 1
+
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(
+            {
+                "n_docs": stats.n_docs,
+                "avgdl": stats.avgdl,
+                "n_files": n_files,
+            },
+            f,
+        )
+    return BuiltIndex(
+        out_dir=out_dir,
+        n_docs=stats.n_docs,
+        avgdl=stats.avgdl,
+        n_files=n_files,
+    )
