@@ -5,10 +5,14 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Engine: documentindex_spark (see SURVEY.md). Scores are rounded to
-6 decimals on BOTH sides so the value-hash compare is robust to
-float summation order; the engine's internal rank-identity tests
-(tests/) assert exact float64 equality separately.
+Engine: documentindex_spark (see SURVEY.md §2 for the operator
+inventory these entries cover). Scores/ratios are rounded to 6
+decimals on BOTH sides so the value-hash compare is robust to float
+summation order; exact float64 identity is asserted in tests/.
+
+Notable: the ``bmw_*`` entries run the COMPRESSED-INDEX Block-Max
+WAND scorer and are checked against the same plain-SQL BM25 oracle as
+the exhaustive scorer — BMW is exact, so one oracle serves both.
 """
 
 from __future__ import annotations
@@ -23,20 +27,32 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from documentindex_spark.constants import BM25_B, BM25_K1  # noqa: E402
+from documentindex_spark.functions import textstats  # noqa: E402
 from documentindex_spark.functions.tokenize import (  # noqa: E402
     doc_lengths,
     term_frequencies,
 )
+from documentindex_spark.operators import dedup  # noqa: E402
+from documentindex_spark.operators.ann import brute_force_topk  # noqa: E402
 from documentindex_spark.operators.bm25 import (  # noqa: E402
     impacts,
     score_query,
     topk,
 )
+from documentindex_spark.operators.bmw import bmw_topk  # noqa: E402
+from documentindex_spark.operators.provenance import (  # noqa: E402
+    find_all_evidence,
+)
 from documentindex_spark.operators.stats import (  # noqa: E402
     corpus_stats,
     document_frequencies,
 )
-from documentindex_spark.sources.registry import load_documents  # noqa: E402
+from documentindex_spark.plans.build_index import build_index  # noqa: E402
+from documentindex_spark.sources.registry import (  # noqa: E402
+    load_documents,
+    load_table,
+)
+from documentindex_spark.streaming import events as ev  # noqa: E402
 
 # ---------------------------------------------------------------- helpers
 
@@ -52,7 +68,9 @@ tf AS (
     SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
 ),
 dl AS (
-    SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+    -- left join keeps zero-token docs with dl=0 (N counts every doc)
+    SELECT d.doc_id, count(t.term)::BIGINT AS dl
+    FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY 1
 ),
 stats AS (
     SELECT count(*)::BIGINT AS n_docs,
@@ -74,6 +92,32 @@ imp AS (
     CROSS JOIN stats
 )
 """.format(k1=BM25_K1, b=BM25_B)
+
+# token-list + k=3 shingle CTE prefix (set semantics, per dedup.shingles)
+_ORACLE_SHINGLES = """
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+    FROM tl, unnest(range(1, len(toks) - 1)) AS r(i)
+    WHERE len(toks) >= 3
+)
+"""
+
+_ORACLE_COS = """
+round(
+  list_sum(list_transform(range(1, len({a}) + 1),
+                          i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+                                  i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+     * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+                                    i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))),
+  6)
+"""
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,32 +159,66 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
     )
 
 
+def _driver_index_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"/tmp/dix_driver_index_{tag}"
+
+
+def _bmw(query: str, k: int):
+    """BMW over the compressed index, built once per sf_dir (the
+    checkpoint manifest makes repeat calls read-only)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        built = build_index(
+            spark,
+            docs,
+            _driver_index_dir(sf_dir),
+            input_id=f"documents@{sf_dir}",
+            text_col="text",
+            bucket_groups=1,
+        )
+        res = bmw_topk(spark, built.postings_path, {0: query}, k=k)
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"), "rank"
+        )
+
+    return run
+
+
 # ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-10 for 'merge sort window' on sf0.001."""
+    """Flagship: build the compressed inverted index over sf0.001 and
+    answer a BM25 top-10 via Block-Max WAND."""
     sf_dir = "/root/testdata/sf0.001"
-    scored = score_query(_impact_df(spark, sf_dir), "merge sort window")
-    return topk(scored, 10)
+    docs = _docs(spark, sf_dir)
+    built = build_index(
+        spark,
+        docs,
+        _driver_index_dir(sf_dir),
+        input_id=f"documents@{sf_dir}",
+        text_col="text",
+        bucket_groups=1,
+    )
+    return bmw_topk(spark, built.postings_path, {0: "merge sort window"}, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ---- index/stats core (SURVEY.md §2.5, M1)
     def q_tf_sample(spark, sf_dir):
-        docs = _docs(spark, sf_dir)
-        return term_frequencies(docs, text_col="text").filter(
+        return term_frequencies(_docs(spark, sf_dir), text_col="text").filter(
             F.col("doc_id") % 50 == 0
         )
 
     def q_doc_lengths(spark, sf_dir):
-        docs = _docs(spark, sf_dir)
-        return doc_lengths(docs, text_col="text").filter(
+        return doc_lengths(_docs(spark, sf_dir), text_col="text").filter(
             F.col("doc_id") % 50 == 0
         )
 
     def q_corpus_stats(spark, sf_dir):
-        docs = _docs(spark, sf_dir)
-        dl = doc_lengths(docs, text_col="text")
+        dl = doc_lengths(_docs(spark, sf_dir), text_col="text")
         return dl.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").alias("total_tokens"),
@@ -148,17 +226,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_dfreq_hot(spark, sf_dir):
-        docs = _docs(spark, sf_dir)
-        tf = term_frequencies(docs, text_col="text")
+        tf = term_frequencies(_docs(spark, sf_dir), text_col="text")
         return document_frequencies(tf).filter(F.col("df") >= 100)
 
     def q_bm25_threshold(spark, sf_dir):
-        """'find ALL evidence' mode: threshold, no limit
-        (reference provenance.py:84-139 semantics)."""
         scored = score_query(_impact_df(spark, sf_dir), "merge sort")
         return scored.select(
             "doc_id", F.round("score", 6).alias("score")
         ).filter(F.col("score") >= 0.7)
+
+    # ---- provenance snippet mode (SURVEY.md §3.3)
+    def q_evidence_snippets(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        scored = score_query(_impact_df(spark, sf_dir), "merge sort")
+        ev_df = find_all_evidence(
+            scored.select("doc_id", F.round("score", 6).alias("score")),
+            docs,
+            "merge sort",
+            threshold=0.6,
+            excerpt_threshold=0.7,
+            snippet_width=60,
+        )
+        return ev_df
+
+    # ---- dedup suite
+    def q_dedup_exact(spark, sf_dir):
+        return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+    def q_ngram_jaccard(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.25)
+
+    def q_minhash_sample(spark, sf_dir):
+        return dedup.minhash_signatures(
+            _docs(spark, sf_dir), num_hashes=4
+        ).filter(F.col("doc_id") % 50 == 0)
+
+    def q_emb_neardup(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return dedup.embedding_near_duplicates(emb, threshold=0.35)
+
+    # ---- ANN
+    def q_ann_topk(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 7).head()["embedding"]
+        return brute_force_topk(emb, list(qv), k=10)
+
+    # ---- text analysis
+    def q_quality(spark, sf_dir):
+        return textstats.quality_features(_docs(spark, sf_dir)).filter(
+            F.col("doc_id") % 25 == 0
+        )
+
+    def q_token_counts(spark, sf_dir):
+        return textstats.token_counts(_docs(spark, sf_dir)).filter(
+            F.col("doc_id") % 25 == 0
+        )
+
+    def q_lang(spark, sf_dir):
+        return textstats.language_scores(_docs(spark, sf_dir)).filter(
+            F.col("doc_id") % 25 == 0
+        )
+
+    def q_fingerprints(spark, sf_dir):
+        return textstats.doc_fingerprints(_docs(spark, sf_dir)).filter(
+            F.col("doc_id") % 25 == 0
+        )
+
+    # ---- streaming twins (batch-equivalent plans)
+    def q_events_windowed(spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        return ev.windowed_counts_batch(events, minutes=5)
+
+    def q_events_sessions(spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        out = ev.sessionize(events, gap_minutes=30)
+        return out.select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
 
     return {
         "tf_sample": q_tf_sample,
@@ -169,10 +317,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_single_hot": _bm25_topk("the", 10),
         "bm25_topk_three_terms": _bm25_topk("spark window filter", 10),
         "bm25_threshold_all": q_bm25_threshold,
+        "bmw_topk_merge_sort": _bmw("merge sort", 10),
+        "bmw_topk_three_terms": _bmw("spark window filter", 10),
+        "evidence_snippets": q_evidence_snippets,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_sample,
+        "embedding_near_dup": q_emb_neardup,
+        "ann_brute_topk": q_ann_topk,
+        "quality_features": q_quality,
+        "token_counts": q_token_counts,
+        "language_scores": q_lang,
+        "doc_fingerprints": q_fingerprints,
+        "events_windowed_counts": q_events_windowed,
+        "events_sessionize": q_events_sessions,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    lang_scores_sql = ", ".join(
+        "len(regexp_extract_all(lower(text), '\\b("
+        + "|".join(textstats.LANG_MARKERS[lg])
+        + ")\\b'))::INT AS score_" + lg
+        for lg in sorted(textstats.LANG_MARKERS)
+    )
+    lang_pred_cases = " ".join(
+        f"WHEN score_{lg} = best THEN '{lg}'"
+        for lg in sorted(textstats.LANG_MARKERS)
+    )
+    greatest_scores = ", ".join(
+        f"score_{lg}" for lg in sorted(textstats.LANG_MARKERS)
+    )
+    cos_ab = _ORACLE_COS.format(a="a.embedding", b="b.embedding")
+    cos_q = _ORACLE_COS.format(a="e.embedding", b="q.qv")
+
     return {
         "tf_sample": _ORACLE_TOKS
         + "SELECT doc_id, term, tf FROM tf WHERE doc_id % 50 = 0",
@@ -190,6 +368,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_three_terms": _bm25_oracle(
             ["filter", "spark", "window"], 10
         ),
+        "bmw_topk_merge_sort": _bm25_oracle(["merge", "sort"], 10),
+        "bmw_topk_three_terms": _bm25_oracle(
+            ["filter", "spark", "window"], 10
+        ),
         "bm25_threshold_all": _ORACLE_TOKS
         + """
 , scored AS (
@@ -198,5 +380,157 @@ def oracle_sql() -> dict[str, str]:
 )
 SELECT doc_id, round(score, 6) AS score FROM scored
 WHERE round(score, 6) >= 0.7
+""",
+        "evidence_snippets": _ORACLE_TOKS
+        + """
+, scored AS (
+    SELECT doc_id, round(sum(impact), 6) AS score
+    FROM imp WHERE term IN ('merge', 'sort') GROUP BY doc_id
+),
+pos AS (
+    SELECT s.doc_id, s.score,
+           least(
+             CASE WHEN strpos(lower(d.text), 'merge') = 0
+                  THEN 2147483647 ELSE strpos(lower(d.text), 'merge') END,
+             CASE WHEN strpos(lower(d.text), 'sort') = 0
+                  THEN 2147483647 ELSE strpos(lower(d.text), 'sort') END
+           ) AS p,
+           d.text AS text
+    FROM scored s JOIN documents d USING (doc_id)
+    WHERE s.score >= 0.6
+)
+SELECT doc_id, score,
+       CASE WHEN score >= 0.7 THEN
+         substr(text, greatest(CASE WHEN p = 2147483647 THEN 0 ELSE p END, 1), 60)
+       ELSE NULL END AS snippet
+FROM pos
+""",
+        "dedup_exact": """
+WITH h AS (SELECT doc_id, sha256(text) AS content_hash FROM documents)
+SELECT content_hash, count(*)::BIGINT AS n_docs,
+       list_sort(list(doc_id)) AS doc_ids
+FROM h GROUP BY 1 HAVING count(*) > 1
+""",
+        "ngram_jaccard_pairs": _ORACLE_SHINGLES
+        + """
+, sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.25
+""",
+        "minhash_signatures": _ORACLE_SHINGLES
+        + """
+SELECT doc_id,
+       min(CAST(concat('0x', substr(md5(concat('0|', shingle)), 1, 8)) AS BIGINT)) AS mh_0,
+       min(CAST(concat('0x', substr(md5(concat('1|', shingle)), 1, 8)) AS BIGINT)) AS mh_1,
+       min(CAST(concat('0x', substr(md5(concat('2|', shingle)), 1, 8)) AS BIGINT)) AS mh_2,
+       min(CAST(concat('0x', substr(md5(concat('3|', shingle)), 1, 8)) AS BIGINT)) AS mh_3
+FROM sh WHERE doc_id % 50 = 0 GROUP BY 1
+""",
+        "embedding_near_dup": f"""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, {cos_ab} AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id AND {cos_ab} >= 0.35
+""",
+        "ann_brute_topk": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+s AS (
+    SELECT e.vec_id, {cos_q} AS cos FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, cos,
+       row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+        "quality_features": r"""
+WITH f AS (
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[^\w\s]'))::BIGINT AS n_punct,
+           len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))::BIGINT AS n_stop
+    FROM documents WHERE doc_id % 25 = 0
+),
+r AS (
+    SELECT doc_id, n_chars, n_tokens,
+           CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0.0 END AS avg_tok,
+           CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_r,
+           CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stop_r
+    FROM f
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(avg_tok, 6) AS avg_token_len,
+       round(punct_r, 6) AS punct_ratio,
+       round(stop_r, 6) AS stopword_ratio,
+       round(
+         (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN avg_tok >= 3.0 AND avg_tok <= 12.0 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN punct_r <= 0.2 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN stop_r >= 0.01 THEN 0.1 ELSE 0.0 END), 6) AS quality_score
+FROM r
+""",
+        "token_counts": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]{1,8}|[^A-Za-z0-9\s]'))::BIGINT AS bpe_ish_tokens
+FROM documents WHERE doc_id % 25 = 0
+""",
+        "language_scores": f"""
+WITH s AS (
+    SELECT doc_id, {lang_scores_sql}
+    FROM documents WHERE doc_id % 25 = 0
+),
+b AS (SELECT *, greatest({greatest_scores}) AS best FROM s)
+SELECT doc_id, {greatest_scores},
+       CASE {lang_pred_cases} END AS lang_pred
+FROM b
+""",
+        "doc_fingerprints": """
+WITH n AS (
+    SELECT doc_id,
+           sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_sha,
+           list_sort(list_distinct(
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))) AS toks
+    FROM documents WHERE doc_id % 25 = 0
+)
+SELECT doc_id, content_sha,
+       CASE WHEN len(toks) = 0 THEN NULL
+            ELSE list_min(list_transform(toks, t -> md5(t))) END AS min_token_fp
+FROM n
+""",
+        "events_windowed_counts": """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS total
+FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH o AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    )::BIGINT AS session_idx
+    FROM o
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY 1, 2
 """,
     }

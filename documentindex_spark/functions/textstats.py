@@ -1,0 +1,120 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All four are 100% built-in Spark expressions (JVM-side, SQL-
+expressible → DuckDB-oracled). Deterministic by construction.
+
+Task-brief scope; the reference's nearest analogs are the regex
+doc-type detector (/root/reference/src/documentindex/detector.py:
+28-190 — pattern-vote classification, same shape as language-ID) and
+token estimation (utils.py:227-239).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# n-gram/stopword evidence lists per language (tiny, frozen).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "y", "las", "es"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+
+def _marker_count(text: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, score_<lang>..., lang_pred) — pattern-vote
+    classification (detector.py:105-190 shape): marker hits per
+    language, argmax with deterministic alphabetical tie-break."""
+    cols = [df["doc_id"]]
+    for lang in sorted(LANG_MARKERS):
+        cols.append(
+            _marker_count(F.col(text_col), LANG_MARKERS[lang]).alias(
+                f"score_{lang}"
+            )
+        )
+    scored = df.select(*cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):  # earlier alphabetical wins ties
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return scored.withColumn("lang_pred", pred)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+    stopword_ratio, quality_score) — length/punct/stopword heuristics,
+    combined into a frozen 0-1 score."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    tokens = F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9]+"), F.lit(0)))
+    n_punct = F.size(
+        F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0))
+    )
+    n_stop = _marker_count(c, LANG_MARKERS["en"])
+    avg_tok = F.when(tokens > 0, n_chars / tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(tokens > 0, n_stop / tokens).otherwise(F.lit(0.0))
+    # frozen score: length band + sane avg token len + low punct
+    score = (
+        F.when((tokens >= 10) & (tokens <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((avg_tok >= 3.0) & (avg_tok <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        tokens.cast("long").alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens) — whitespace split vs a
+    BPE-ish regex (word pieces + standalone punctuation), the two
+    standard budget estimators."""
+    c = F.col(text_col)
+    ws = F.size(
+        F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0))
+    )
+    bpe = F.size(
+        F.regexp_extract_all(
+            c, F.lit(r"[A-Za-z0-9]{1,8}|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    )
+    return df.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, content_sha, min_token_fp) — exact fingerprint of the
+    whitespace-normalized text plus a MinHash-style single-value
+    fingerprint (min md5 over distinct tokens; robust to small edits:
+    equal fps ⇒ near-identical vocabulary with high probability)."""
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.lower(c), r"\s+", " ")
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9]+"), F.lit(0))
+    )
+    min_tok_fp = F.array_min(F.transform(toks, lambda t: F.md5(t)))
+    return df.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("content_sha"),
+        min_tok_fp.alias("min_token_fp"),
+    )

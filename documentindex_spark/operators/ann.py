@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — the baseline/oracle.
+  Pure built-ins (zip_with dot product, TakeOrderedAndProject) —
+  a full scan, fine up to ~10^7 vectors per executor-core.
+- ``lsh_sign_buckets`` + ``lsh_topk``: random-hyperplane LSH — the
+  scale path. Vectors bucket by the sign-bit pattern of R seeded
+  hyperplane projections (one vectorized pandas pass, numpy matmul);
+  a query probes its own bucket plus all buckets within
+  ``probe_bits`` Hamming flips (multi-probe), then scores exactly
+  within the probed buckets. Candidates shrink ~2^R-fold; recall is
+  tunable via R/probe_bits (measured in tests, not assumed).
+
+Task-brief scope (training-data pipeline ops); no reference analog —
+the reference has no vector search.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import cosine_sim_col
+
+SEED = 42
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (vec_id, cos, rank), ties (cos DESC, id ASC)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        id_col, F.round(cosine_sim_col(F.col(vec_col), q), 6).alias("cos")
+    )
+    from pyspark.sql.window import Window
+
+    lim = scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cos"), F.asc(id_col))
+    return lim.withColumn("rank", F.row_number().over(w))
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    rng = np.random.default_rng(SEED)
+    return rng.standard_normal((dim, n_planes))
+
+
+def lsh_sign_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, bucket) — bucket = packed sign bits of the
+    seeded hyperplane projections. One Arrow-batched pandas pass;
+    inside, a single (batch × dim) @ (dim × planes) matmul."""
+    planes = _hyperplanes(dim, n_planes)
+
+    @F.pandas_udf(T.LongType())
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        signs = (m @ planes) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(signs.astype(np.int64) @ weights)
+
+    return emb.select(
+        id_col, vec_col, bucket_of(F.col(vec_col)).alias("bucket")
+    )
+
+
+def _probe_buckets(bucket: int, n_planes: int, probe_bits: int) -> list[int]:
+    out = [bucket]
+    for r in range(1, probe_bits + 1):
+        for flips in combinations(range(n_planes), r):
+            b = bucket
+            for f in flips:
+                b ^= 1 << f
+            out.append(b)
+    return out
+
+
+def lsh_topk(
+    bucketed: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    probe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's probed
+    buckets only. `bucketed` comes from lsh_sign_buckets (persist it —
+    it's the 'index')."""
+    planes = _hyperplanes(len(query_vec), n_planes)
+    signs = (np.asarray(query_vec) @ planes) > 0
+    qb = int(signs.astype(np.int64) @ (1 << np.arange(n_planes)))
+    probes = _probe_buckets(qb, n_planes, probe_bits)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    scored = cand.select(
+        id_col, F.round(cosine_sim_col(F.col(vec_col), q), 6).alias("cos")
+    )
+    from pyspark.sql.window import Window
+
+    lim = scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cos"), F.asc(id_col))
+    return lim.withColumn("rank", F.row_number().over(w))

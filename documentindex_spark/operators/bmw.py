@@ -171,6 +171,15 @@ def bmw_topk_local(
         pivot_doc = cursors[pivot_i].cur_doc()
         if pivot_doc == _INF:
             break
+        # EXTEND the pivot over every cursor parked at pivot_doc
+        # (Ding & Suel §BMW): they all contribute to the doc's upper
+        # bound — without this, the block-max check undercounts and
+        # skips multi-term docs (caught by the sf0.01 oracle gate).
+        while (
+            pivot_i + 1 < len(cursors)
+            and cursors[pivot_i + 1].cur_doc() == pivot_doc
+        ):
+            pivot_i += 1
 
         if cursors[0].cur_doc() == pivot_doc:
             # --- block-max refinement (shallow, no decode)
@@ -178,10 +187,17 @@ def bmw_topk_local(
                 c.block_ub(pivot_doc) for c in cursors[: pivot_i + 1]
             )
             if block_acc <= theta and len(heap) >= k:
-                # skip to just past the nearest block boundary
+                # skip to just past the nearest block boundary — but
+                # never past the next cursor's current doc: docs in
+                # the skipped range may live in cursors BEYOND the
+                # pivot, whose upper bounds block_acc did not count
+                # (Ding & Suel: d' = min(block boundaries, next
+                # cursor's docID)).
                 d_next = (
                     min(c.block_max_doc() for c in cursors[: pivot_i + 1]) + 1
                 )
+                if pivot_i + 1 < len(cursors):
+                    d_next = min(d_next, cursors[pivot_i + 1].cur_doc())
                 cursors[0].advance_to(max(d_next, pivot_doc + 1))
             else:
                 # --- full evaluation, ascending-term summation order
@@ -238,12 +254,16 @@ def load_query_postings(
 
 def bmw_topk(
     spark: SparkSession,
-    index_path: str,
+    index: str | DataFrame,
     queries: dict[int, str],
     k: int = TOPK_DEFAULT,
 ) -> DataFrame:
     """Batched BMW: (query_id → query text) → DataFrame
     (query_id, doc_id, score, rank).
+
+    ``index`` is either the postings path (cold: pruned parquet scan)
+    or an already-loaded (usually ``.persist()``-ed) postings
+    DataFrame — a resident index, the serving-path configuration.
 
     Plan: pruned index scan → broadcast-join the tiny (query_id, term)
     table → groupBy(query_id).applyInPandas(BMW). Queries run in
@@ -256,7 +276,11 @@ def bmw_topk(
     if not pairs:
         return spark.createDataFrame([], BMW_RESULT_SCHEMA)
     qdf = spark.createDataFrame(pairs, "query_id long, term string")
-    seg_rows = load_query_postings(spark, index_path, terms_by_query)
+    if isinstance(index, str):
+        seg_rows = load_query_postings(spark, index, terms_by_query)
+    else:
+        all_terms = sorted({t for ts in terms_by_query.values() for t in ts})
+        seg_rows = index.filter(F.col("term").isin(all_terms))
     joined = seg_rows.join(F.broadcast(qdf), "term")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:

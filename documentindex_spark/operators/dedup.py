@@ -1,0 +1,362 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Five methods, all returning deterministic results so each can carry a
+DuckDB oracle where SQL-expressible:
+
+- exact:        sha2-hash groupBy — one shuffle on a 64-char key.
+- ngram-jaccard: token-shingle self-join (exact Jaccard) — quadratic
+                 in co-shingled docs; the small-corpus ground truth.
+- minhash-LSH:  md5-derived minhash signatures, banded; candidate
+                 pairs verified with exact Jaccard. The 100TB-scale
+                 path: cost is (docs × shingles) + band-bucket joins,
+                 never all-pairs. md5 (not xxhash) so DuckDB can
+                 reproduce signatures bit-for-bit.
+- simhash:      64-bit weighted-bit fingerprints via one grouped
+                 Arrow/pandas pass; near-dup = Hamming ≤ t on key
+                 prefix buckets.
+- embedding:    cosine ≥ threshold pairs; brute self-join baseline
+                 (see ann.py for the bucketed scale path).
+
+The reference's only dedup is cross-ref seen-set dropDuplicates
+(/root/reference/src/documentindex/cross_ref.py:84-95); this module
+is target-side scope (task brief: first-class training-data ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.tokenize import tokenize
+
+# ------------------------------------------------------------- exact
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(content_hash, n_docs, doc_ids) for every text appearing >1×.
+    Hash-groupBy: map-side partial agg, single shuffle on the hash."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), id_col)
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ----------------------------------------------------------- shingles
+
+
+def shingles(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingle) — distinct k-token shingles per document, built
+    with a self-join-free window over token positions."""
+    toks = tokenize(df, text_col, id_col)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    t = toks
+    lead_cols = []
+    for i in range(1, k):
+        name = f"_lead{i}"
+        t = t.withColumn(name, F.lead("term", i).over(w))
+        lead_cols.append(name)
+    # concat_ws skips NULLs silently — filter incomplete tails first
+    if lead_cols:
+        t = t.filter(F.col(lead_cols[-1]).isNotNull())
+    return (
+        t.withColumn("shingle", F.concat_ws(" ", "term", *lead_cols))
+        .select(id_col, "shingle")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over k-token shingles: (doc_a, doc_b, jaccard)
+    for all pairs ≥ threshold, doc_a < doc_b.
+
+    Self-join on shingle → |∩| per pair; |∪| = |A|+|B|−|∩|. Exact and
+    SQL-expressible (the oracle); cost grows with co-shingled pairs —
+    use minhash_lsh_candidates at scale.
+    """
+    sh = shingles(df, k, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------ minhash
+
+
+def _minhash_expr(i: int) -> Column:
+    """Deterministic hash_i(shingle): first 8 hex chars of
+    md5(i || shingle) as a bigint — identical in DuckDB:
+    CAST(concat('0x', substr(md5(concat('<i>|', shingle)), 1, 8)) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, mh_0..mh_{H-1}) — one grouped agg computes all H minima
+    in a single pass over the shingle stream (no H× re-scan)."""
+    sh = shingles(df, k, text_col, id_col)
+    aggs = [
+        F.min(_minhash_expr(i)).alias(f"mh_{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs: docs sharing ≥1 LSH band.
+    Band key = concat of the band's rows; bucket join per band —
+    never an all-pairs comparison."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, k, text_col, id_col)
+    parts = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{b * rows_per_band + r}")
+            for r in range(rows_per_band)
+        ]
+        parts.append(
+            sigs.select(
+                F.col(id_col).alias("doc"),
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias(
+                    "band_key"
+                ),
+            )
+        )
+    bandtab = parts[0]
+    for p in parts[1:]:
+        bandtab = bandtab.unionByName(p)
+    a = bandtab.select(F.col("doc").alias("doc_a"), "band", "band_key")
+    b_ = bandtab.select(F.col("doc").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b_, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    threshold: float,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (compute the true
+    score ONLY for candidate pairs — the scale-path contract)."""
+    cand = minhash_lsh_candidates(df, num_hashes, bands, k, text_col, id_col)
+    exact = ngram_jaccard_pairs(df, 0.0, k, text_col, id_col)
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------ simhash
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def _md5_hash64(terms: pd.Series) -> np.ndarray:
+    """Deterministic 64-bit term hash (md5 low 8 bytes) — vectorized
+    per unique term, md5 loop only over the vocabulary of the batch."""
+    import hashlib
+
+    uniq = pd.unique(terms)
+    lut = {
+        t: int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for t in uniq
+    }
+    return terms.map(lut).to_numpy(dtype=np.uint64)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of the tf-weighted sum per bit.
+
+    One grouped Arrow pass: groupBy(doc).applyInPandas; inside, the
+    bit unpack + weighted sum is pure numpy (bits × terms matrix)."""
+    tf = (
+        tokenize(df, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_hash64(pdf["term"])
+        w = pdf["tf"].to_numpy(dtype=np.float64)
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc = ((bits.astype(np.float64) * 2 - 1) * w[:, None]).sum(axis=0)
+        sig = np.uint64(0)
+        for i in np.flatnonzero(acc > 0):
+            sig |= np.uint64(1) << np.uint64(i)
+        return pd.DataFrame(
+            {"doc_id": [int(pdf[id_col].iloc[0])],
+             "simhash": [int(np.int64(sig))]}
+        )
+
+    return tf.groupBy(id_col).applyInPandas(per_doc, _SIMHASH_SCHEMA)
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max_hamming). Candidate generation
+    buckets on 4 × 16-bit key segments (two signatures within Hamming
+    ≤ 3 of 64 bits must agree on ≥1 of 4 segments — pigeonhole), then
+    verifies exact Hamming via bit_count(xor)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    parts = [
+        sigs.select(
+            F.col("doc_id").alias("doc"),
+            F.lit(s).alias("seg"),
+            F.shiftrightunsigned(F.col("simhash"), s * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("seg_key"),
+        )
+        for s in range(4)
+    ]
+    seg = parts[0]
+    for p in parts[1:]:
+        seg = seg.unionByName(p)
+    a = seg.select(F.col("doc").alias("doc_a"), "seg", "seg_key")
+    b = seg.select(F.col("doc").alias("doc_b"), "seg", "seg_key")
+    cand = (
+        a.join(b, ["seg", "seg_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------- embedding
+
+
+def cosine_sim_col(a: Column, b: Column) -> Column:
+    """Float64 cosine similarity of two array<float/double> columns —
+    built-in zip_with/aggregate, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_a, doc_b, cos ≥ threshold) via brute self-join — the
+    small-corpus ground truth (O(n²); use ann.lsh_buckets to
+    pre-bucket at scale)."""
+    a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine_sim_col(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

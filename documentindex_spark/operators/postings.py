@@ -197,3 +197,55 @@ def merge_segments(partial: DataFrame) -> DataFrame:
     return partial.groupBy("term").applyInPandas(
         _merge_term, schema=INDEX_SCHEMA
     )
+
+
+# --------------------------------------------- adaptive single-pass
+
+
+def _encode_final(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One single-shard term → final capped segment rows directly
+    (no second shuffle)."""
+    pdf = pdf.sort_values("doc_id")
+    term = pdf["term"].iloc[0]
+    df_ = int(pdf["df"].iloc[0])
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    imps = pdf["impact"].to_numpy(np.float64)
+    rows = []
+    for seg_idx, start in enumerate(range(0, len(doc_ids), MAX_SEGMENT_POSTINGS)):
+        end = min(start + MAX_SEGMENT_POSTINGS, len(doc_ids))
+        seg = encode_segment(
+            term, df_, doc_ids[start:end], tfs[start:end], imps[start:end]
+        )
+        d = _segment_to_dict(seg, seg_idx)
+        d["bucket"] = term_bucket(term)
+        rows.append(d)
+    return pd.DataFrame(rows)[[f.name for f in INDEX_SCHEMA.fields]]
+
+
+def build_segments(
+    impact_tf: DataFrame,
+    n_docs: int,
+    postings_per_shard: int = POSTINGS_PER_SHARD,
+) -> DataFrame:
+    """Adaptive index build — the cost-based route the reference's
+    'multi-model routing' maps to (SURVEY.md §4.1 last row):
+
+    - terms with df ≤ postings_per_shard (the overwhelming majority —
+      Zipf tail) encode in ONE grouped pass: a single shuffle, no
+      merge stage at all;
+    - hot terms (df > postings_per_shard) take the salted two-stage
+      path: range-sharded partial segments, then the blob-only
+      shuffle-merge.
+
+    Both paths produce identical bytes for a given term (asserted in
+    tests), so the split is purely physical.
+    """
+    single = impact_tf.filter(
+        F.col("df") <= postings_per_shard
+    ).groupBy("term").applyInPandas(_encode_final, schema=INDEX_SCHEMA)
+    hot = impact_tf.filter(F.col("df") > postings_per_shard)
+    merged = merge_segments(
+        build_partial_segments(hot, n_docs, postings_per_shard)
+    )
+    return single.unionByName(merged)

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..constants import NUM_TERM_BUCKETS, POSTINGS_PER_SHARD
 from ..functions.tokenize import doc_lengths, term_frequencies
 from ..operators.bm25 import impacts
-from ..operators.postings import build_partial_segments, merge_segments
+from ..operators.postings import build_segments
 from ..operators.stats import CorpusStats, corpus_stats, document_frequencies
 from .checkpoint import Manifest, stage_fingerprint
 
@@ -108,8 +108,18 @@ def build_index(
         man.begin("tf", fp_tf)
         t0 = time.time()
         term_frequencies(docs, text_col).write.mode("overwrite").parquet(tf_path)
-        doc_lengths(docs, text_col).write.mode("overwrite").parquet(dl_path)
-        n = spark.read.parquet(tf_path).count()
+        # dl = Σ tf per doc — derived from the checkpointed TF table,
+        # so the corpus is tokenized exactly ONCE. Left join keeps
+        # zero-token docs (dl=0): N/avgdl count every document.
+        tf0 = spark.read.parquet(tf_path)
+        docs.select("doc_id").join(
+            tf0.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl")
+        ).write.mode("overwrite").parquet(dl_path)
+        n = tf0.count()
         man.complete("tf", n, tf_path, (time.time() - t0) * 1000)
     tf = spark.read.parquet(tf_path)
     dl = spark.read.parquet(dl_path)
@@ -154,14 +164,10 @@ def build_index(
                 man.hits += 1
                 continue
             t0 = time.time()
-            part = merge_segments(
-                build_partial_segments(
-                    impact_b.filter(F.col("bucket").isin(buckets)).drop(
-                        "bucket"
-                    ),
-                    stats.n_docs,
-                    postings_per_shard,
-                )
+            part = build_segments(
+                impact_b.filter(F.col("bucket").isin(buckets)).drop("bucket"),
+                stats.n_docs,
+                postings_per_shard,
             )
             # one subdir per group; globally still partitioned by bucket
             gpath = os.path.join(postings_path, f"group={gid}")

@@ -62,16 +62,24 @@ def with_doc_ids(df: DataFrame) -> DataFrame:
 
     row_number over (repo, path, commit) — NOT
     monotonically_increasing_id, which depends on physical partitioning
-    (SURVEY.md §1.3). One global sort at ingest; every derived table
-    keys on this id afterwards.
+    (SURVEY.md §1.3).
 
-    At 10^12-file scale a single unpartitioned window is the wrong
-    plan; production would use zipWithIndex-style per-partition offsets
-    (two-pass: count per partition, then cumulative offsets). The
-    semantic contract (dense ids ordered by (repo, path, commit)) is
-    identical; see plans/build_index.py for the scalable variant.
+    Scale shape: the global window runs over the KEY COLUMNS ONLY
+    (repo, path, commit — bytes, not documents); `content` never moves
+    through the single window partition. The wide rows rejoin by key
+    afterwards — a hash join co-partitioned on the natural key. At
+    10^12 files even the key window would shift to two-pass
+    per-partition offsets; the semantic contract (dense ids ordered by
+    the natural key) stays identical.
     """
     from pyspark.sql.window import Window
 
     w = Window.orderBy("repo", "path", "commit")
-    return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    ids = (
+        df.select("repo", "path", "commit")
+        .withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    )
+    # broadcast the slim id table: the wide rows (content) never
+    # shuffle. (At a scale where even ids outgrow a broadcast, swap to
+    # two-pass per-partition offsets.)
+    return df.join(F.broadcast(ids), ["repo", "path", "commit"])

@@ -1,0 +1,121 @@
+"""Dedup suite: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding cosine — each verified against a driver-side pure-Python
+computation on a corpus with PLANTED duplicates."""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import pytest
+
+from documentindex_spark.operators import dedup
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+DOCS = [
+    (0, BASE),
+    (1, BASE),  # exact dup of 0
+    (2, BASE + " extra tail words here"),  # near-dup of 0
+    (3, "completely different content about spark and indexes"),
+    (4, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # near
+    (5, "unrelated text with its own vocabulary entirely"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text, k=3):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _py_jaccard(a, b, k=3):
+    sa, sb = _py_shingles(a, k), _py_shingles(b, k)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_duplicates(docs_df):
+    groups = dedup.exact_duplicates(docs_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 1]
+
+
+def test_shingles_match_python(docs_df):
+    got = {
+        (r["doc_id"], r["shingle"])
+        for r in dedup.shingles(docs_df, k=3).collect()
+    }
+    want = {
+        (i, sh) for i, t in DOCS for sh in _py_shingles(t, 3)
+    }
+    assert got == want
+
+
+def test_ngram_jaccard_pairs(docs_df):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    want = {}
+    for (ia, ta), (ib, tb) in combinations(DOCS, 2):
+        j = _py_jaccard(ta, tb)
+        if j >= 0.3:
+            want[(ia, ib)] = round(j, 6)
+    assert set(got) == set(want)
+    for kpair in got:
+        assert got[kpair] == pytest.approx(want[kpair], abs=1e-6)
+
+
+def test_minhash_signature_matches_python(docs_df):
+    sigs = {r["doc_id"]: r for r in dedup.minhash_signatures(docs_df, 8).collect()}
+    for doc_id, text in DOCS:
+        for i in range(8):
+            want = min(
+                int(hashlib.md5(f"{i}|{sh}".encode()).hexdigest()[:8], 16)
+                for sh in _py_shingles(text)
+            )
+            assert sigs[doc_id][f"mh_{i}"] == want, (doc_id, i)
+
+
+def test_minhash_lsh_finds_planted_dups(docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_near_duplicates(
+            docs_df, threshold=0.5, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (3, 5) not in pairs
+
+
+def test_simhash_identical_docs_equal(docs_df):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs_df).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_simhash_near_duplicates(docs_df):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(docs_df, max_hamming=10).collect()
+    }
+    assert got[(0, 1)] == 0
+    assert (3, 5) not in got
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.embedding_near_duplicates(emb, 0.95).collect()
+    }
+    assert got == {(0, 1)}

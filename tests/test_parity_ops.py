@@ -1,0 +1,175 @@
+"""Provenance, metadata, textstats, multimodal, streaming — the
+remaining parity + pipeline operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from documentindex_spark.functions import multimodal, textstats
+from documentindex_spark.operators.metadata import (
+    extract_code_metadata,
+    merge_metadata,
+)
+from documentindex_spark.operators.provenance import (
+    evidence_summary,
+    find_all_evidence,
+)
+from documentindex_spark.streaming import events as ev
+
+# ------------------------------------------------------ provenance
+
+
+def test_find_all_evidence_snippets(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "intro words then MERGE logic appears here and more text follows"),
+            (1, "no relevant terms at all in this one"),
+            (2, "merge at the very start"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = spark.createDataFrame(
+        [(0, 2.0), (1, 0.2), (2, 1.0)], "doc_id long, score double"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in find_all_evidence(
+            scored, docs, "merge", threshold=0.5, excerpt_threshold=1.5,
+            snippet_width=20,
+        ).collect()
+    }
+    assert set(out) == {0, 2}  # threshold filter, no limit
+    assert out[0]["snippet"].lower().startswith("merge")
+    assert out[2]["snippet"] is None  # below excerpt gate: no extraction
+    summ = evidence_summary(
+        find_all_evidence(scored, docs, "merge", 0.5)
+    ).collect()[0]
+    assert summ["n_top"] == 2 and summ["max_score"] == 2.0
+
+
+# -------------------------------------------------------- metadata
+
+
+def test_code_metadata(spark):
+    text = (
+        "# module alpha_mod\nimport os_util\nimport re_util\n"
+        "def f_one(x):\n    pass\nclass Big:\n    pass\n# comment\n"
+    )
+    df = spark.createDataFrame([(0, text)], "doc_id long, content string")
+    m = extract_code_metadata(df).collect()[0]
+    assert m["n_imports"] == 2 and m["imports"] == ["os_util", "re_util"]
+    assert m["n_defs"] == 1 and m["n_classes"] == 1
+    assert m["symbols"] == ["Big", "f_one"]
+    assert m["header_module"] == "alpha_mod"
+    assert m["n_comment_lines"] == 2  # '# module...' and '# comment'
+
+
+def test_merge_metadata_coalesce_and_union(spark):
+    p = spark.createDataFrame(
+        [(0, None, ["a"]), (1, 5, ["b"])],
+        "doc_id long, n_lines int, imports array<string>",
+    )
+    s = spark.createDataFrame(
+        [(0, 7, ["c"]), (2, 9, ["d"])],
+        "doc_id long, n_lines int, imports array<string>",
+    )
+    got = {r["doc_id"]: r for r in merge_metadata(p, s).collect()}
+    assert got[0]["n_lines"] == 7 and got[0]["imports"] == ["a", "c"]
+    assert got[1]["n_lines"] == 5 and got[1]["imports"] == ["b"]
+    assert got[2]["n_lines"] == 9 and got[2]["imports"] == ["d"]
+
+
+# -------------------------------------------------------- textstats
+
+
+def test_language_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house is big"),
+            (1, "der hund und die katze das ist gut"),
+            (2, "!!! ??? ***"),
+        ],
+        "doc_id long, text string",
+    )
+    langs = {r["doc_id"]: r["lang_pred"] for r in textstats.language_scores(df).collect()}
+    assert langs[0] == "en" and langs[1] == "de"
+    q = {r["doc_id"]: r for r in textstats.quality_features(df).collect()}
+    assert q[0]["quality_score"] > q[2]["quality_score"]
+    assert q[2]["n_tokens"] == 0 and q[2]["quality_score"] == 0.0
+    t = {r["doc_id"]: r for r in textstats.token_counts(df).collect()}
+    assert t[0]["ws_tokens"] == 10
+    fp = {r["doc_id"]: r for r in textstats.doc_fingerprints(df).collect()}
+    assert fp[0]["content_sha"] != fp[1]["content_sha"]
+    assert fp[2]["min_token_fp"] is None  # no tokens
+
+
+# ------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(spark):
+    assets = multimodal.synth_assets(spark, 30).cache()
+    assert assets.count() == 30
+    feats = multimodal.extract_features(assets, dim=16).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert r["decoder"] == "stub"  # no media libs in this container
+        assert all(0.0 <= v < 1.0 for v in r["feature"])
+    # determinism across recomputation
+    again = multimodal.extract_features(assets, dim=16).collect()
+    assert {r["asset_id"]: r["feature"] for r in feats} == {
+        r["asset_id"]: r["feature"] for r in again
+    }
+    plan = multimodal.frame_sample_plan(assets, every_ms=1000)
+    vids = assets.filter("kind = 'video'").collect()
+    got = plan.groupBy("asset_id").count().collect()
+    want = {
+        v["asset_id"]: v["meta"]["duration_ms"] // 1000 + 1 for v in vids
+    }
+    assert {r["asset_id"]: r["count"] for r in got} == want
+
+
+# -------------------------------------------------------- streaming
+
+
+def test_windowed_stream_equals_batch(spark, tmp_path):
+    # streaming parquet source requires a DIRECTORY: stage the table
+    src = str(tmp_path / "events_dir")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").repartition(
+        4
+    ).write.parquet(src)
+    events = spark.read.parquet(src)
+    batch = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total"])
+        for r in ev.windowed_counts_batch(events).collect()
+    }
+    agg = ev.windowed_counts_stream(spark, src)
+    ev.run_stream_to_memory(agg, "win_test")
+    stream = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.sql("select * from win_test").collect()
+    }
+    assert stream == batch
+
+
+def test_sessionize(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 10, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=90), 10, "click", 1.0, "{}"),
+        (4, t0, 20, "view", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["user_id"], r["session_idx"]): r["n_events"]
+        for r in ev.sessionize(events, gap_minutes=30).collect()
+    }
+    assert got == {(10, 0): 2, (10, 1): 1, (20, 0): 1}

@@ -35,6 +35,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].round(9)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+            ).astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
