@@ -43,6 +43,13 @@ MAX_SEGMENT_POSTINGS: int = 1_000_000
 # Number of hash buckets used as the index's partition column
 # (partition pruning: a query touches only its terms' buckets).
 NUM_TERM_BUCKETS: int = 64
+# Doc-range band width: segments never cross a band boundary, so all
+# of a band's postings (for every term) are self-contained — the
+# banded BMW path scores one band per task and merges top-k globally,
+# giving single-query parallelism at cluster scale. 2^20 docs per
+# band ⇒ one band at test scale (no overhead), ~10^6 bands at
+# 10^12-file scale.
+DOC_BAND_SIZE: int = 1 << 20
 
 # ---- Query semantics (frozen) ----
 # Query terms are DE-DUPLICATED and processed in ascending term order;

@@ -257,6 +257,7 @@ def bmw_topk(
     index: str | DataFrame,
     queries: dict[int, str],
     k: int = TOPK_DEFAULT,
+    band_size: int | None = None,
 ) -> DataFrame:
     """Batched BMW: (query_id → query text) → DataFrame
     (query_id, doc_id, score, rank).
@@ -268,6 +269,15 @@ def bmw_topk(
     Plan: pruned index scan → broadcast-join the tiny (query_id, term)
     table → groupBy(query_id).applyInPandas(BMW). Queries run in
     parallel; every task sees only its own terms' segments.
+
+    ``band_size``: when given (= the index's build-time band width),
+    the grouping key becomes (query_id, doc_band): segments never
+    cross band boundaries at build time, so every band scores
+    EXACTLY and independently — a single heavy query parallelizes
+    across the cluster instead of landing on one task. Per-band
+    top-k results merge via a global (score DESC, doc ASC) window.
+    Per-band θ starts at -inf (less skipping than a shared heap), so
+    it trades some decode work for parallelism — results identical.
     """
     terms_by_query = {qid: query_terms(q) for qid, q in queries.items()}
     pairs = [
@@ -298,4 +308,20 @@ def bmw_topk(
             }
         )
 
-    return joined.groupBy("query_id").applyInPandas(run, BMW_RESULT_SCHEMA)
+    if band_size is None:
+        return joined.groupBy("query_id").applyInPandas(run, BMW_RESULT_SCHEMA)
+
+    from pyspark.sql.window import Window
+
+    banded = joined.withColumn(
+        "doc_band", F.floor(F.col("min_doc_id") / F.lit(band_size))
+    )
+    per_band = banded.groupBy("query_id", "doc_band").applyInPandas(
+        lambda pdf: run(pdf), BMW_RESULT_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_band.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -42,11 +42,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..constants import (
+    DOC_BAND_SIZE,
     MAX_SEGMENT_POSTINGS,
     NUM_TERM_BUCKETS,
     POSTINGS_PER_SHARD,
 )
 from .codec import Segment, encode_segment
+
+
+def _split_runs(
+    doc_ids: np.ndarray, band_size: int, cap: int
+) -> list[tuple[int, int]]:
+    """Split a sorted doc_id run into segment (start, end) slices that
+    (a) never cross a doc-band boundary (banded query execution) and
+    (b) never exceed ``cap`` postings (bounded rows for hot terms)."""
+    n = len(doc_ids)
+    band_breaks = (np.flatnonzero(np.diff(doc_ids // band_size)) + 1).tolist()
+    bounds = [0] + band_breaks + [n]
+    out: list[tuple[int, int]] = []
+    for a, b in zip(bounds, bounds[1:]):
+        for s in range(a, b, cap):
+            out.append((s, min(s + cap, b)))
+    return out
 
 # ------------------------------------------------------------- schemas
 
@@ -153,35 +170,18 @@ def build_partial_segments(
 # ------------------------------------------------------ stage 2: merge
 
 
-def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
-    """All partial segments of one term → final capped segments."""
-    pdf = pdf.sort_values("min_doc_id")
-    term = pdf["term"].iloc[0]
-    df_ = int(pdf["df"].iloc[0])
-    total = int(pdf["n_postings"].sum())
-
-    if len(pdf) == 1 and total <= MAX_SEGMENT_POSTINGS:
-        out = pdf.iloc[[0]].copy()  # pass-through: blobs reused as-is
-        out["seg_idx"] = 0
-        out["bucket"] = term_bucket(term)
-        return out[[f.name for f in INDEX_SCHEMA.fields]]
-
-    docs, tfs, imps = [], [], []
-    for _, row in pdf.iterrows():
-        d, t, i = row_to_segment(row).decode_all()
-        docs.append(d)
-        tfs.append(t)
-        imps.append(i)
-    doc_ids = np.concatenate(docs)
-    tfs = np.concatenate(tfs)
-    imps = np.concatenate(imps)
-    # shards are disjoint ascending ranges — concatenation IS sorted;
-    # assert rather than re-sort (re-sorting would hide salt bugs).
-    assert bool(np.all(np.diff(doc_ids) > 0)), f"unsorted merge for {term!r}"
-
+def _encode_runs(
+    term: str,
+    df_: int,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    imps: np.ndarray,
+    band_size: int,
+) -> pd.DataFrame:
     rows = []
-    for seg_idx, start in enumerate(range(0, len(doc_ids), MAX_SEGMENT_POSTINGS)):
-        end = min(start + MAX_SEGMENT_POSTINGS, len(doc_ids))
+    for seg_idx, (start, end) in enumerate(
+        _split_runs(doc_ids, band_size, MAX_SEGMENT_POSTINGS)
+    ):
         seg = encode_segment(
             term, df_, doc_ids[start:end], tfs[start:end], imps[start:end]
         )
@@ -191,42 +191,79 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)[[f.name for f in INDEX_SCHEMA.fields]]
 
 
-def merge_segments(partial: DataFrame) -> DataFrame:
+def _merge_term_fn(band_size: int):
+    def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
+        """All partial segments of one term → final segments split at
+        band boundaries and capped at MAX_SEGMENT_POSTINGS."""
+        pdf = pdf.sort_values("min_doc_id")
+        term = pdf["term"].iloc[0]
+        df_ = int(pdf["df"].iloc[0])
+        total = int(pdf["n_postings"].sum())
+
+        if (
+            len(pdf) == 1
+            and total <= MAX_SEGMENT_POSTINGS
+            and int(pdf["min_doc_id"].iloc[0]) // band_size
+            == int(pdf["max_doc_id"].iloc[0]) // band_size
+        ):
+            out = pdf.iloc[[0]].copy()  # pass-through: blobs reused as-is
+            out["seg_idx"] = 0
+            out["bucket"] = term_bucket(term)
+            return out[[f.name for f in INDEX_SCHEMA.fields]]
+
+        docs, tfs, imps = [], [], []
+        for _, row in pdf.iterrows():
+            d, t, i = row_to_segment(row).decode_all()
+            docs.append(d)
+            tfs.append(t)
+            imps.append(i)
+        doc_ids = np.concatenate(docs)
+        tfs = np.concatenate(tfs)
+        imps = np.concatenate(imps)
+        # shards are disjoint ascending ranges — concatenation IS
+        # sorted; assert rather than re-sort (re-sorting would hide
+        # salt bugs).
+        assert bool(np.all(np.diff(doc_ids) > 0)), f"unsorted merge {term!r}"
+        return _encode_runs(term, df_, doc_ids, tfs, imps, band_size)
+
+    return _merge_term
+
+
+def merge_segments(
+    partial: DataFrame, band_size: int = DOC_BAND_SIZE
+) -> DataFrame:
     """Shuffle-merge: repartition by term (blobs only — cheap) and
     concat each term's pre-sorted shard runs into final segments."""
     return partial.groupBy("term").applyInPandas(
-        _merge_term, schema=INDEX_SCHEMA
+        _merge_term_fn(band_size), schema=INDEX_SCHEMA
     )
 
 
 # --------------------------------------------- adaptive single-pass
 
 
-def _encode_final(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One single-shard term → final capped segment rows directly
-    (no second shuffle)."""
-    pdf = pdf.sort_values("doc_id")
-    term = pdf["term"].iloc[0]
-    df_ = int(pdf["df"].iloc[0])
-    doc_ids = pdf["doc_id"].to_numpy(np.int64)
-    tfs = pdf["tf"].to_numpy(np.int64)
-    imps = pdf["impact"].to_numpy(np.float64)
-    rows = []
-    for seg_idx, start in enumerate(range(0, len(doc_ids), MAX_SEGMENT_POSTINGS)):
-        end = min(start + MAX_SEGMENT_POSTINGS, len(doc_ids))
-        seg = encode_segment(
-            term, df_, doc_ids[start:end], tfs[start:end], imps[start:end]
+def _encode_final_fn(band_size: int):
+    def _encode_final(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One single-shard term → final segment rows directly
+        (no second shuffle), split at band boundaries + cap."""
+        pdf = pdf.sort_values("doc_id")
+        return _encode_runs(
+            pdf["term"].iloc[0],
+            int(pdf["df"].iloc[0]),
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["tf"].to_numpy(np.int64),
+            pdf["impact"].to_numpy(np.float64),
+            band_size,
         )
-        d = _segment_to_dict(seg, seg_idx)
-        d["bucket"] = term_bucket(term)
-        rows.append(d)
-    return pd.DataFrame(rows)[[f.name for f in INDEX_SCHEMA.fields]]
+
+    return _encode_final
 
 
 def build_segments(
     impact_tf: DataFrame,
     n_docs: int,
     postings_per_shard: int = POSTINGS_PER_SHARD,
+    band_size: int = DOC_BAND_SIZE,
 ) -> DataFrame:
     """Adaptive index build — the cost-based route the reference's
     'multi-model routing' maps to (SURVEY.md §4.1 last row):
@@ -243,9 +280,11 @@ def build_segments(
     """
     single = impact_tf.filter(
         F.col("df") <= postings_per_shard
-    ).groupBy("term").applyInPandas(_encode_final, schema=INDEX_SCHEMA)
+    ).groupBy("term").applyInPandas(
+        _encode_final_fn(band_size), schema=INDEX_SCHEMA
+    )
     hot = impact_tf.filter(F.col("df") > postings_per_shard)
     merged = merge_segments(
-        build_partial_segments(hot, n_docs, postings_per_shard)
+        build_partial_segments(hot, n_docs, postings_per_shard), band_size
     )
     return single.unionByName(merged)

@@ -32,7 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..constants import NUM_TERM_BUCKETS, POSTINGS_PER_SHARD
+from ..constants import DOC_BAND_SIZE, NUM_TERM_BUCKETS, POSTINGS_PER_SHARD
 from ..functions.tokenize import doc_lengths, term_frequencies
 from ..operators.bm25 import impacts
 from ..operators.postings import build_segments
@@ -46,6 +46,7 @@ class BuiltIndex:
     n_docs: int
     avgdl: float
     n_files: int
+    band_size: int = DOC_BAND_SIZE
 
     @property
     def postings_path(self) -> str:
@@ -70,6 +71,8 @@ def build_index(
     text_col: str = "content",
     bucket_groups: int = 4,
     postings_per_shard: int = POSTINGS_PER_SHARD,
+    source_path: str | None = None,
+    band_size: int = DOC_BAND_SIZE,
 ) -> BuiltIndex:
     """Build (or resume) the inverted index for ``files``.
 
@@ -82,20 +85,34 @@ def build_index(
     man = Manifest.load(out_dir)
 
     # ---------------- stage: docs (identity + invariant columns)
+    # When the input is already a materialized parquet/Iceberg table
+    # WITH stable doc_ids (source_path given), the stage records its
+    # fingerprint and reads in place — copying 100 TB of input to
+    # freeze doc_ids would be absurd at scale. Otherwise (derived/
+    # in-memory input) it materializes once so doc_ids are frozen for
+    # resume idempotence.
     fp_docs = stage_fingerprint("docs", "", input_id)
-    docs_path = os.path.join(out_dir, "docs")
     id_cols = [c for c in files.columns if c != text_col]
-    if man.is_complete("docs", fp_docs):
-        man.hits += 1
+    if source_path is not None and "doc_id" in files.columns:
+        docs = spark.read.parquet(source_path)
+        if man.stages.get("docs", {}).get("fingerprint") != fp_docs:
+            man.begin("docs", fp_docs)
+            man.stages["docs"].update({"status": "complete", "in_place": True})
+            man.save()
+        n_files = docs.count()
     else:
-        man.misses += 1
-        man.begin("docs", fp_docs)
-        t0 = time.time()
-        files.write.mode("overwrite").parquet(docs_path)
-        n = spark.read.parquet(docs_path).count()
-        man.complete("docs", n, docs_path, (time.time() - t0) * 1000)
-    docs = spark.read.parquet(docs_path)
-    n_files = docs.count()
+        docs_path = os.path.join(out_dir, "docs")
+        if man.is_complete("docs", fp_docs):
+            man.hits += 1
+        else:
+            man.misses += 1
+            man.begin("docs", fp_docs)
+            t0 = time.time()
+            files.write.mode("overwrite").parquet(docs_path)
+            n = spark.read.parquet(docs_path).count()
+            man.complete("docs", n, docs_path, (time.time() - t0) * 1000)
+        docs = spark.read.parquet(docs_path)
+        n_files = docs.count()
 
     # ---------------- stage: tf (tokenize — the expensive one)
     fp_tf = stage_fingerprint("tf", fp_docs, input_id)
@@ -138,7 +155,9 @@ def build_index(
     # ---------------- stage: postings (salted build + shuffle-merge),
     # written in bucket groups for intra-stage resume.
     fp_post = stage_fingerprint(
-        "postings", fp_tf, f"{input_id}|shard={postings_per_shard}"
+        "postings",
+        fp_tf,
+        f"{input_id}|shard={postings_per_shard}|band={band_size}",
     )
     postings_path = os.path.join(out_dir, "postings")
     if not man.is_complete("postings", fp_post):
@@ -168,6 +187,7 @@ def build_index(
                 impact_b.filter(F.col("bucket").isin(buckets)).drop("bucket"),
                 stats.n_docs,
                 postings_per_shard,
+                band_size,
             )
             # one subdir per group; globally still partitioned by bucket
             gpath = os.path.join(postings_path, f"group={gid}")
@@ -188,6 +208,7 @@ def build_index(
                 "n_docs": stats.n_docs,
                 "avgdl": stats.avgdl,
                 "n_files": n_files,
+                "band_size": band_size,
             },
             f,
         )
@@ -196,4 +217,5 @@ def build_index(
         n_docs=stats.n_docs,
         avgdl=stats.avgdl,
         n_files=n_files,
+        band_size=band_size,
     )

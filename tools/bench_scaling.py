@@ -1,0 +1,102 @@
+"""Two-cluster-size scaling benchmark (north rule: N vs 4N executors,
+efficiency = tput(4N) / (4 × tput(N)) ≥ 0.8).
+
+No real cluster exists in this sandbox, so the two 'cluster sizes'
+are local[8] and local[32] on the same input — same job, same
+engine.zip, launched via spark-submit --py-files exactly as a cluster
+run would be. Results land in BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [n_files] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def make_engine_zip(tmp: str) -> str:
+    base = os.path.join(tmp, "engine")
+    return shutil.make_archive(
+        base, "zip", root_dir=REPO, base_dir="documentindex_spark"
+    )
+
+
+def gen_corpus(tmp: str, n_files: int) -> str:
+    from documentindex_spark.corpus import generate_repo_files
+    from documentindex_spark.session import get_spark
+    from documentindex_spark.sources.registry import with_doc_ids
+
+    path = os.path.join(tmp, "corpus")
+    spark = get_spark("gen", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    with_doc_ids(generate_repo_files(spark, n_files)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+    return path
+
+
+def run_once(zip_path: str, corpus: str, cores: int, tmp: str) -> dict:
+    out = os.path.join(tmp, f"idx_{cores}_{time.time_ns()}")
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", f"local[{cores}]",
+        "--driver-memory", "12g",
+        "--py-files", zip_path,
+        os.path.join(REPO, "tools", "bench_build.py"),
+        "--corpus", corpus,
+        "--out", out,
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    shutil.rmtree(out, ignore_errors=True)
+    for line in res.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from spark-submit:\n{res.stdout[-2000:]}\n{res.stderr[-3000:]}")
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    tmp = tempfile.mkdtemp(prefix="dix-scaling-")
+    try:
+        zip_path = make_engine_zip(tmp)
+        corpus = gen_corpus(tmp, n_files)
+        results: dict[int, list[dict]] = {8: [], 32: []}
+        # interleave runs so background-noise drift hits both levels
+        for _ in range(repeats):
+            for cores in (8, 32):
+                r = run_once(zip_path, corpus, cores, tmp)
+                results[cores].append(r)
+                print(json.dumps(r), flush=True)
+        best8 = max(r["files_per_sec"] for r in results[8])
+        best32 = max(r["files_per_sec"] for r in results[32])
+        eff = best32 / (4 * best8)
+        summary = {
+            "n_files": n_files,
+            "tput_8": best8,
+            "tput_32": best32,
+            "scaling_efficiency": round(eff, 3),
+            "pass": eff >= 0.8,
+            "runs": results,
+        }
+        print(json.dumps(summary), flush=True)
+        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
