@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from documentindex_spark.corpus import generate_repo_files  # noqa: E402
-from documentindex_spark.operators.bmw import bmw_topk  # noqa: E402
+from documentindex_spark.operators.bmw import bmw_serve, bmw_topk  # noqa: E402
 from documentindex_spark.plans.build_index import build_index  # noqa: E402
 from documentindex_spark.session import get_spark  # noqa: E402
 from documentindex_spark.sources.registry import with_doc_ids  # noqa: E402
@@ -90,6 +90,21 @@ def main() -> None:
             q_times[name] = round(time.time() - t0, 4)
             topk_rows += len(rows)
         lat = sorted(q_times.values())
+        # serving path: driver-local BMW over the pruned collected
+        # segments (the point-lookup configuration)
+        serve_times = []
+        for q in QUERY_SET.values():
+            t0 = time.time()
+            bmw_serve(postings, q, k=10, max_collect_postings=10_000_000)
+            serve_times.append(time.time() - t0)
+        serve_times.sort()
+        # batch throughput: the whole query set in ONE Spark job
+        t0 = time.time()
+        nbatch = bmw_topk(
+            spark, postings, {i: q for i, q in enumerate(QUERY_SET.values())},
+            k=10,
+        ).count()
+        batch_s = time.time() - t0
         total_s = time.time() - t_all
         print(
             json.dumps(
@@ -106,6 +121,11 @@ def main() -> None:
                     "query_p95_sec": round(
                         lat[max(0, int(len(lat) * 0.95) - 1)], 4
                     ),
+                    "serve_p50_sec": round(statistics.median(serve_times), 4),
+                    "serve_p95_sec": round(
+                        serve_times[max(0, int(len(serve_times) * 0.95) - 1)], 4
+                    ),
+                    "batch_qps": round(nbatch / 10 / batch_s, 2),
                     "topk_rows": topk_rows,
                     "cpus": int(cpus),
                 }

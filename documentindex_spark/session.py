@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan parallelism: splits can't be finer than parquet row
+        # groups — default 128m row groups turn a 200MB table into ~2
+        # splits and cap every downstream map stage at 2 tasks. 16m
+        # row groups + 16m target splits keep scans wide.
+        .config("spark.hadoop.parquet.block.size", str(16 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     # shuffle/spill to tmpfs when available: disk IO contention

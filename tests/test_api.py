@@ -1,0 +1,64 @@
+"""Engine facade: the reference-parity API surface end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from documentindex_spark import oracle
+from documentindex_spark.api import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, repo_files_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("api_idx"))
+    return Engine.index(
+        spark, repo_files_small, out, input_id="rf@200-api",
+        bucket_groups=1,
+    ).persist()
+
+
+def test_search(engine, local_docs):
+    orc = oracle.OracleIndex(local_docs)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in engine.search("merge block", 10).orderBy("rank").collect()
+    ]
+    want = orc.topk("merge block", 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_search_serve(engine, local_docs):
+    orc = oracle.OracleIndex(local_docs)
+    got = engine.search_serve("merge block", 10)
+    assert [d for d, _ in got] == [d for d, _ in orc.topk("merge block", 10)]
+
+
+def test_extract_all(engine, local_docs):
+    orc = oracle.OracleIndex(local_docs)
+    rows = engine.extract_all("merge block", threshold=1.0).collect()
+    want = orc.all_matches("merge block", 1.0)
+    assert sorted(int(r["doc_id"]) for r in rows) == sorted(d for d, _ in want)
+    assert all(r["snippet"] for r in rows)  # above excerpt gate
+
+
+def test_answer_multi_probe(engine):
+    res = engine.answer("merge block", k_per_probe=5, max_probes=3)
+    assert res["citations"], "expected citations"
+    ids = [c.doc_id for c in res["citations"]]
+    assert len(ids) == len(set(ids)), "exclusion list must prevent dups"
+    assert res["citations"][0].snippet
+    assert 0.0 <= res["confidence"] <= 1.0
+    assert res["probes"][0]["fresh"] > 0
+
+
+def test_open_existing(spark, engine, repo_files_small):
+    e2 = Engine.open(spark, engine.built.out_dir, repo_files_small)
+    got = e2.search_serve("merge block", 5)
+    assert got == engine.search_serve("merge block", 5)
+
+
+def test_cross_references(engine):
+    edges = engine.cross_references()
+    rows = edges.limit(200).collect()
+    assert rows, "corpus plants module/section refs"
+    assert {"module", "section", "import"} >= {r["ref_type"] for r in rows}

@@ -104,6 +104,21 @@ def test_spark_build_and_bmw_end_to_end(spark, built: BuiltIndex, orc):
         ), f"q{qid} scores"
 
 
+def test_bmw_serve_matches_oracle(spark, built: BuiltIndex, orc):
+    from documentindex_spark.operators.bmw import bmw_serve
+
+    postings = spark.read.parquet(built.postings_path)
+    for q in ["merge block", "the import def", "zzzz_only_oov"]:
+        got = bmw_serve(postings, q, k=10)
+        want = orc.topk(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        assert [s for _, s in got] == pytest.approx(
+            [s for _, s in want], abs=1e-12
+        )
+    with pytest.raises(ValueError):
+        bmw_serve(postings, "the", k=10, max_collect_postings=1)
+
+
 def test_index_df_consistency(spark, built: BuiltIndex, orc):
     """Stored df and total postings per term match the oracle."""
     segs = spark.read.parquet(built.postings_path).collect()

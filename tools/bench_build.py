@@ -35,6 +35,8 @@ def main() -> None:
     spark = (
         SparkSession.builder.appName("dix-bench-build")
         .config("spark.local.dir", "/dev/shm/spark-local")
+        .config("spark.hadoop.parquet.block.size", str(16 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -63,6 +65,13 @@ def main() -> None:
         source_path=args.corpus,
     )
     dt = time.time() - t0
+    with open(os.path.join(args.out, "_manifest.json")) as f:
+        man = json.load(f)
+    stage_walls = {
+        s: round(v.get("wall_ms", 0) / 1000, 2)
+        for s, v in man.items()
+        if isinstance(v, dict)
+    }
     print(
         json.dumps(
             {
@@ -71,6 +80,7 @@ def main() -> None:
                 "n_files": n,
                 "build_sec": round(dt, 3),
                 "files_per_sec": round(n / dt, 2),
+                "stage_walls": stage_walls,
             }
         ),
         flush=True,

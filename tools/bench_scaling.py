@@ -6,7 +6,7 @@ are local[8] and local[32] on the same input — same job, same
 engine.zip, launched via spark-submit --py-files exactly as a cluster
 run would be. Results land in BENCH/BASELINE.md.
 
-Usage: python tools/bench_scaling.py [n_files] [repeats]
+Usage: python tools/bench_scaling.py [n_files] [repeats] [n_cores] [n4_cores]
 """
 
 from __future__ import annotations
@@ -69,30 +69,36 @@ def run_once(zip_path: str, corpus: str, cores: int, tmp: str) -> dict:
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     tmp = tempfile.mkdtemp(prefix="dix-scaling-")
     try:
         zip_path = make_engine_zip(tmp)
         corpus = gen_corpus(tmp, n_files)
-        results: dict[int, list[dict]] = {8: [], 32: []}
+        results: dict[int, list[dict]] = {n_lo: [], n_hi: []}
         # interleave runs so background-noise drift hits both levels
         for _ in range(repeats):
-            for cores in (8, 32):
+            for cores in (n_lo, n_hi):
                 r = run_once(zip_path, corpus, cores, tmp)
                 results[cores].append(r)
                 print(json.dumps(r), flush=True)
-        best8 = max(r["files_per_sec"] for r in results[8])
-        best32 = max(r["files_per_sec"] for r in results[32])
-        eff = best32 / (4 * best8)
+        best_lo = max(r["files_per_sec"] for r in results[n_lo])
+        best_hi = max(r["files_per_sec"] for r in results[n_hi])
+        eff = best_hi / ((n_hi / n_lo) * best_lo)
         summary = {
             "n_files": n_files,
-            "tput_8": best8,
-            "tput_32": best32,
+            "cores": [n_lo, n_hi],
+            f"tput_{n_lo}": best_lo,
+            f"tput_{n_hi}": best_hi,
             "scaling_efficiency": round(eff, 3),
             "pass": eff >= 0.8,
             "runs": results,
         }
         print(json.dumps(summary), flush=True)
-        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(
+            os.path.join(REPO, "BENCH", f"scaling_{n_lo}_{n_hi}.json"), "w"
+        ) as f:
             json.dump(summary, f, indent=1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
