@@ -1,0 +1,230 @@
+"""Scalar function bank — SURVEY.md §2.8 parity, plus the ordered
+operators of §2.5/§2.6 (token-aware batch packing, structure-number
+natural sort).
+
+Everything here is built-in Spark expressions except roman-numeral
+conversion (tiny pandas UDF — no builtin exists; reference
+utils.py:169-224).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ------------------------------------------------------------- strings
+
+
+def truncate_middle(text: Column, max_chars: int) -> Column:
+    """Keep head+tail halves around a budget (reference
+    utils.py:45-60, indexer.py:906-937 head-tail sampling)."""
+    half = max_chars // 2
+    return F.when(F.length(text) <= max_chars, text).otherwise(
+        F.concat(
+            F.substring(text, 1, half),
+            F.lit(" ... "),
+            F.substring(text, -half, half),
+        )
+    )
+
+
+def normalize_whitespace(text: Column) -> Column:
+    """Line-ending + whitespace normalization (chunker.py:158,
+    utils.py:63-88)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(text, r"\r\n?", "\n"), r"[ \t]+", " "
+        )
+    )
+
+
+def sentence_split(text: Column) -> Column:
+    """array<string> of sentences (utils.py:91-104)."""
+    return F.filter(
+        F.split(text, r"(?<=[.!?])\s+"), lambda s: F.trim(s) != ""
+    )
+
+
+def highlight_terms(text: Column, terms: list[str]) -> Column:
+    """Wrap term occurrences in ** ** (utils.py:340-356; cosmetic)."""
+    pat = "(?i)(" + "|".join(terms) + ")"
+    return F.regexp_replace(text, pat, r"**$1**")
+
+
+def token_estimate(text: Column) -> Column:
+    """len/4 token estimate (utils.py:227-239)."""
+    return (F.length(text) / 4).cast("int")
+
+
+def format_number_kmb(x: Column) -> Column:
+    """1234567 → '1.2M' (utils.py:107-125; cosmetic)."""
+    ax = F.abs(x)
+    return (
+        F.when(ax >= 1e9, F.concat(F.round(x / 1e9, 1).cast("string"), F.lit("B")))
+        .when(ax >= 1e6, F.concat(F.round(x / 1e6, 1).cast("string"), F.lit("M")))
+        .when(ax >= 1e3, F.concat(F.round(x / 1e3, 1).cast("string"), F.lit("K")))
+        .otherwise(x.cast("string"))
+    )
+
+
+# ------------------------------------------------------------- dates
+
+# The reference parses 9 date formats (metadata.py:60-70, utils.py:128-166)
+DATE_FORMATS = [
+    "yyyy-MM-dd", "MM/dd/yyyy", "MMMM d, yyyy", "MMM d, yyyy",
+    "d MMMM yyyy", "yyyyMMdd", "MM-dd-yyyy", "yyyy/MM/dd", "dd.MM.yyyy",
+]
+
+
+def parse_date_multi(text: Column) -> Column:
+    """coalesce(to_date(c, f) for f in formats) — first format wins."""
+    candidates = [F.try_to_timestamp(text, F.lit(f)).cast("date") for f in DATE_FORMATS]
+    return F.coalesce(*candidates)
+
+
+def fiscal_quarter(d: Column) -> Column:
+    """Calendar-quarter bucketing (metadata.py:127-137: months 1-3→Q1)."""
+    return F.ceil(F.month(d) / 3).cast("int")
+
+
+# ------------------------------------------------------------- jaccard
+
+
+def jaccard_tokens(a: Column, b: Column) -> Column:
+    """Word-overlap Jaccard of two token-array columns
+    (utils.py:301-337 find_best_match core)."""
+    return (
+        F.size(F.array_intersect(a, b))
+        / F.size(F.array_union(a, b))
+    )
+
+
+# ------------------------------------------------------------- roman
+
+_ROMAN = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100, "d": 500, "m": 1000}
+
+
+def _roman_to_int_py(s: str) -> int | None:
+    s = (s or "").strip().lower()
+    if not s or any(ch not in _ROMAN for ch in s):
+        return None
+    total = 0
+    for i, ch in enumerate(s):
+        v = _ROMAN[ch]
+        if i + 1 < len(s) and _ROMAN[s[i + 1]] > v:
+            total -= v
+        else:
+            total += v
+    return total
+
+
+@F.pandas_udf(T.IntegerType())
+def roman_to_int(s: pd.Series) -> pd.Series:
+    """'xiv' → 14; NULL for non-roman (utils.py:169-224)."""
+    return s.map(_roman_to_int_py).astype("Int32")
+
+
+# -------------------------------------------- structure natural sort
+
+
+def structure_sort_key(structure: Column) -> Column:
+    """Sortable key for hierarchical section numbers: '1.2.10' sorts
+    after '1.2.9' (indexer.py:586-611 _structure_sort_key). Roman
+    parts must be pre-converted (roman_to_int) — this handles the
+    numeric-dotted form with zero-padded array elements."""
+    return F.transform(
+        F.split(structure, r"\."),
+        lambda p: F.lpad(F.regexp_replace(p, r"[^0-9]", ""), 8, "0"),
+    )
+
+
+def sort_by_structure(df: DataFrame, col: str = "structure") -> DataFrame:
+    return df.orderBy(structure_sort_key(F.col(col)))
+
+
+# --------------------------------------- token-aware batch grouping
+
+
+def pack_into_batches(
+    df: DataFrame,
+    order_cols: list[str],
+    cost_col: str,
+    budget: float,
+    max_per_batch: int | None = None,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Assign a ``batch_id`` so consecutive rows (in ``order_cols``
+    order) pack up to ``budget`` total cost and ≤ max_per_batch rows —
+    the reference's token-aware LLM batching (indexer.py:772-805,
+    provenance.py:349-380) as a window cumulative sum.
+
+    batch boundaries: floor((cumsum - cost) / budget) bucketing with
+    an optional row-count sub-split. Exact greedy packing is
+    sequential by nature; this closed form over-splits only when a
+    single row exceeds the budget (same as the reference's handling).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*order_cols)
+    if partition_col:
+        w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    csum = F.sum(cost_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    batch = F.floor((csum - F.col(cost_col)) / F.lit(budget))
+    out = df.withColumn("batch_id", batch.cast("long"))
+    if max_per_batch:
+        w2 = (
+            Window.partitionBy(
+                *( [partition_col] if partition_col else [] ), "batch_id"
+            ).orderBy(*order_cols)
+        )
+        out = out.withColumn(
+            "batch_id",
+            F.concat_ws(
+                "_",
+                F.col("batch_id"),
+                F.floor(
+                    (F.row_number().over(w2) - 1) / F.lit(max_per_batch)
+                ),
+            ),
+        )
+    return out
+
+
+# ----------------------------------------------- doc-type detection
+
+
+# Pattern-vote classifier (reference detector.py:28-190: 40+ regexes
+# vote, ≥2 matches wins). Code-corpus flavor: classify source kind.
+DOC_TYPE_PATTERNS: dict[str, list[str]] = {
+    "python": [r"(?m)^def \w+\(", r"(?m)^import \w+", r"(?m)^class \w+[:(]"],
+    "markdown": [r"(?m)^#{1,6} ", r"\[.*\]\(.*\)", r"(?m)^[-*] "],
+    "config": [r"(?m)^\w+\s*[:=]\s*\S+", r"(?m)^\[\w+\]"],
+    "prose": [r"(?m)[.!?]\s+[A-Z]", r"\b(the|and|of)\b"],
+}
+
+
+def detect_doc_type(df: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, votes_<type>..., doc_type, confidence) — sum of
+    pattern hits per type; argmax with min-votes=2 else 'generic';
+    confidence = min(1, votes/k) like detector.py:158-187."""
+    cols = [df["doc_id"]]
+    for t in sorted(DOC_TYPE_PATTERNS):
+        votes = None
+        for p in DOC_TYPE_PATTERNS[t]:
+            hit = F.when(F.col(text_col).rlike(p), 1).otherwise(0)
+            votes = hit if votes is None else votes + hit
+        cols.append(votes.alias(f"votes_{t}"))
+    scored = df.select(*cols)
+    types = sorted(DOC_TYPE_PATTERNS)
+    best = F.greatest(*[F.col(f"votes_{t}") for t in types])
+    pred = F.lit("generic")
+    for t in reversed(types):
+        pred = F.when(
+            (F.col(f"votes_{t}") == best) & (best >= 2), F.lit(t)
+        ).otherwise(pred)
+    k = F.lit(3.0)
+    return scored.withColumn("doc_type", pred).withColumn(
+        "confidence", F.round(F.least(F.lit(1.0), best / k), 6)
+    )

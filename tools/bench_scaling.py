@@ -82,15 +82,24 @@ def main() -> None:
                 r = run_once(zip_path, corpus, cores, tmp)
                 results[cores].append(r)
                 print(json.dumps(r), flush=True)
+        import statistics
+
+        med_lo = statistics.median(r["files_per_sec"] for r in results[n_lo])
+        med_hi = statistics.median(r["files_per_sec"] for r in results[n_hi])
         best_lo = max(r["files_per_sec"] for r in results[n_lo])
         best_hi = max(r["files_per_sec"] for r in results[n_hi])
-        eff = best_hi / ((n_hi / n_lo) * best_lo)
+        eff = med_hi / ((n_hi / n_lo) * med_lo)
         summary = {
             "n_files": n_files,
             "cores": [n_lo, n_hi],
-            f"tput_{n_lo}": best_lo,
-            f"tput_{n_hi}": best_hi,
+            f"tput_{n_lo}_median": round(med_lo, 1),
+            f"tput_{n_hi}_median": round(med_hi, 1),
+            f"tput_{n_lo}_best": best_lo,
+            f"tput_{n_hi}_best": best_hi,
             "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency_best": round(
+                best_hi / ((n_hi / n_lo) * best_lo), 3
+            ),
             "pass": eff >= 0.8,
             "runs": results,
         }
