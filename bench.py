@@ -32,17 +32,13 @@ from documentindex_spark.plans.build_index import build_index  # noqa: E402
 from documentindex_spark.session import get_spark  # noqa: E402
 from documentindex_spark.sources.registry import with_doc_ids  # noqa: E402
 
-# Reference query set (FIXTURES.md §3 shape): single/two/three-term +
-# hot-term and OOV edge cases, over the source-code corpus vocabulary.
+from documentindex_spark.queryset import reference_query_set  # noqa: E402
+
+# The frozen 50-query reference set (FIXTURES.md §3): 20 single-term,
+# 15 two-term, 10 three-term, 5 OOV-mixed; 5 at k=100.
 QUERY_SET = {
-    "q1_single_rare": "shard7",
-    "q2_single_hot": "the",
-    "q3_two": "merge0 block3",
-    "q4_two_hot": "import def",
-    "q5_three": "index1 token2 parse3",
-    "q6_three_mixed": "return hash4 queue9",
-    "q7_oov_mix": "merge1 zzzznotaterm",
-    "q8_hot_stack": "the import def return class for if data",
+    f"q{q['query_id']}": (q["query_text"], q["k"])
+    for q in reference_query_set()
 }
 
 # FIXTURES.md sizing: bench (sf0.1-equivalent) = 20,000 source files.
@@ -84,24 +80,26 @@ def main() -> None:
         bmw_topk(spark, postings, {0: "warmup"}, k=10).collect()
         q_times: dict[str, float] = {}
         topk_rows = 0
-        for name, q in QUERY_SET.items():
+        for name, (q, k) in QUERY_SET.items():
             t0 = time.time()
-            rows = bmw_topk(spark, postings, {0: q}, k=10).collect()
+            rows = bmw_topk(spark, postings, {0: q}, k=k).collect()
             q_times[name] = round(time.time() - t0, 4)
             topk_rows += len(rows)
         lat = sorted(q_times.values())
         # serving path: driver-local BMW over the pruned collected
         # segments (the point-lookup configuration)
         serve_times = []
-        for q in QUERY_SET.values():
+        for q, k in QUERY_SET.values():
             t0 = time.time()
-            bmw_serve(postings, q, k=10, max_collect_postings=10_000_000)
+            bmw_serve(postings, q, k=k, max_collect_postings=50_000_000)
             serve_times.append(time.time() - t0)
         serve_times.sort()
         # batch throughput: the whole query set in ONE Spark job
         t0 = time.time()
         nbatch = bmw_topk(
-            spark, postings, {i: q for i, q in enumerate(QUERY_SET.values())},
+            spark,
+            postings,
+            {i: q for i, (q, _) in enumerate(QUERY_SET.values())},
             k=10,
         ).count()
         batch_s = time.time() - t0

@@ -216,6 +216,60 @@ def build_nodes(
     )
 
 
+def synthesize_node_summaries(
+    nodes: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """Bottom-up parent synthesis (reference indexer.py:684-770:
+    children summarized first, parents from child summaries, deepest
+    level first). Deterministic replacement for the LLM step: a
+    node's summary = its title + the titles of its direct children in
+    document order.
+
+    Iterative per-level groupBy(parent) join loop — tree depth is
+    small (reference depth ≤ ~4), so ≤ max_depth joins, all
+    Catalyst-planned; no recursion in Python over rows.
+    """
+    levels = [
+        r["level"]
+        for r in nodes.select("level").distinct().orderBy(F.desc("level")).collect()
+    ]
+    out = nodes.withColumn("summary", F.col("title"))
+    # deepest level first: a child's summary is final before its
+    # parent consumes it; a parent with direct children at several
+    # levels receives one append per level (deeper children first).
+    for lvl in levels[:max_depth]:
+        child_concat = (
+            out.filter(
+                F.col("parent_id").isNotNull() & (F.col("level") == lvl)
+            )
+            .groupBy("doc_id", "parent_id")
+            .agg(
+                F.concat_ws(
+                    "; ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("node_id", "summary"))
+                        ),
+                        lambda x: x["summary"],
+                    ),
+                ).alias("_child_summary")
+            )
+            .withColumnRenamed("parent_id", "node_id")
+        )
+        out = (
+            out.join(child_concat, ["doc_id", "node_id"], "left")
+            .withColumn(
+                "summary",
+                F.when(
+                    F.col("_child_summary").isNotNull(),
+                    F.concat_ws(": ", "summary", "_child_summary"),
+                ).otherwise(F.col("summary")),
+            )
+            .drop("_child_summary")
+        )
+    return out
+
+
 def leaf_nodes(nodes: DataFrame) -> DataFrame:
     """Nodes with no children — anti-join on parent_id
     (reference models.py:322-324 get_leaf_nodes)."""

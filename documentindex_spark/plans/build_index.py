@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..constants import DOC_BAND_SIZE, NUM_TERM_BUCKETS, POSTINGS_PER_SHARD
-from ..functions.tokenize import doc_lengths, term_frequencies
+from ..functions.tokenize import term_frequencies
 from ..operators.bm25 import impacts
 from ..operators.postings import build_segments
 from ..operators.stats import CorpusStats, corpus_stats, document_frequencies
