@@ -29,6 +29,14 @@ buckets of the query's terms.
 
 AQE's skew handling only splits join/shuffle-read skew, not hot
 groupBy keys — this explicit salting is required (SURVEY.md §4.2.1).
+
+Literature (PAPERS.md): the columnar posting layout follows
+"Columnar Formatted Inverted Index for Highly-Paralleled, Vectorized
+Query Processing" (ICDE 2025) — postings as columnar blobs inside a
+columnar store; the salted two-stage repartition is the standard
+petabyte-scale shuffle decomposition ("Hyper Dimension Shuffle",
+VLDB 2019); the Arrow-batched encode path follows "Accelerating
+Python UDFs in Vectorized Query Execution" (CIDR 2022).
 """
 
 from __future__ import annotations

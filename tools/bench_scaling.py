@@ -58,12 +58,25 @@ def run_once(zip_path: str, corpus: str, cores: int, tmp: str) -> dict:
         "--corpus", corpus,
         "--out", out,
     ]
-    res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    # Popen + os.wait4: capture the process tree's ACCUMULATED CPU
+    # time (ru_utime+ru_stime of the child incl. reaped descendants).
+    # cpu_sec / build_sec = effective cores actually delivered — the
+    # noise-robust scaling signal on this variance-prone VM.
+    with open(os.path.join(tmp, "run.out"), "w+") as fo:
+        proc = subprocess.Popen(cmd, stdout=fo, stderr=subprocess.DEVNULL)
+        _, status, ru = os.wait4(proc.pid, 0)
+        fo.seek(0)
+        stdout = fo.read()
     shutil.rmtree(out, ignore_errors=True)
-    for line in res.stdout.splitlines():
+    if status != 0:
+        raise RuntimeError(f"spark-submit failed:\n{stdout[-3000:]}")
+    for line in stdout.splitlines():
         if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"no JSON from spark-submit:\n{res.stdout[-2000:]}\n{res.stderr[-3000:]}")
+            r = json.loads(line)
+            r["cpu_sec"] = round(ru.ru_utime + ru.ru_stime, 1)
+            r["effective_cores"] = round(r["cpu_sec"] / r["build_sec"], 2)
+            return r
+    raise RuntimeError(f"no JSON from spark-submit:\n{stdout[-2000:]}")
 
 
 def main() -> None:
@@ -71,7 +84,11 @@ def main() -> None:
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-    tmp = tempfile.mkdtemp(prefix="dix-scaling-")
+    # tmpfs workspace: with corpus+index on spinning /tmp the build is
+    # IO-wait bound (loadavg ~2 during a 4-core run) and wall-clock
+    # stops responding to cores at all.
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="dix-scaling-", dir=base)
     try:
         zip_path = make_engine_zip(tmp)
         corpus = gen_corpus(tmp, n_files)
