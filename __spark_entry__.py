@@ -186,6 +186,36 @@ def _bmw(query: str, k: int):
     return run
 
 
+def _doc_type_oracle() -> str:
+    from documentindex_spark.functions.scalar import DOC_TYPE_PATTERNS
+
+    vote_cols = []
+    for t in sorted(DOC_TYPE_PATTERNS):
+        parts = " + ".join(
+            "(CASE WHEN regexp_matches(text, '{}') THEN 1 ELSE 0 END)".format(
+                p.replace("'", "''")  # duckdb literals keep backslashes as-is
+            )
+            for p in DOC_TYPE_PATTERNS[t]
+        )
+        vote_cols.append(f"({parts})::INT AS votes_{t}")
+    types = sorted(DOC_TYPE_PATTERNS)
+    greatest = ", ".join(f"votes_{t}" for t in types)
+    cases = " ".join(
+        f"WHEN votes_{t} = best AND best >= 2 THEN '{t}'" for t in types
+    )
+    return f"""
+WITH s AS (
+    SELECT doc_id, {", ".join(vote_cols)}
+    FROM documents WHERE doc_id % 25 = 0
+),
+b AS (SELECT *, greatest({greatest}) AS best FROM s)
+SELECT doc_id, {greatest},
+       coalesce(CASE {cases} END, 'generic') AS doc_type,
+       round(least(1.0, best / 3.0), 6) AS confidence
+FROM b
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -292,6 +322,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id") % 25 == 0
         )
 
+    # ---- doc-type pattern votes (reference detector.py analog)
+    def q_doc_type(spark, sf_dir):
+        from documentindex_spark.functions.scalar import detect_doc_type
+
+        docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+        return detect_doc_type(docs).filter(F.col("doc_id") % 25 == 0)
+
+    # ---- token-aware batch packing (window cumsum)
+    def q_batch_packing(spark, sf_dir):
+        from documentindex_spark.functions.scalar import pack_into_batches
+
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        out = pack_into_batches(
+            events, ["event_id"], "value", budget=5000.0,
+            partition_col="user_id",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.col("batch_id").cast("string").alias("batch_id"),
+        )
+
+    # ---- simhash (rows-only check: md5-bit signature not SQL-expressible)
+    def q_simhash(spark, sf_dir):
+        return dedup.simhash_signatures(_docs(spark, sf_dir)).filter(
+            F.col("doc_id") % 50 == 0
+        )
+
     # ---- streaming twins (batch-equivalent plans)
     def q_events_windowed(spark, sf_dir):
         events = load_table(spark, sf_dir, "events")
@@ -329,6 +389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "language_scores": q_lang,
         "doc_fingerprints": q_fingerprints,
+        "doc_type_votes": q_doc_type,
+        "batch_packing": q_batch_packing,
+        "simhash_signatures": q_simhash,
         "events_windowed_counts": q_events_windowed,
         "events_sessionize": q_events_sessions,
     }
@@ -506,6 +569,21 @@ SELECT doc_id, content_sha,
        CASE WHEN len(toks) = 0 THEN NULL
             ELSE list_min(list_transform(toks, t -> md5(t))) END AS min_token_fp
 FROM n
+""",
+        "doc_type_votes": _doc_type_oracle(),
+        "batch_packing": """
+WITH o AS (
+    SELECT event_id, user_id, value,
+           sum(value) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS csum
+    FROM events
+)
+SELECT event_id, user_id,
+       CAST(CAST(floor((csum - value) / 5000.0) AS BIGINT) AS VARCHAR)
+           AS batch_id
+FROM o
 """,
         "events_windowed_counts": """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
