@@ -125,20 +125,21 @@ def build_index(
         man.begin("tf", fp_tf)
         t0 = time.time()
         term_frequencies(docs, text_col).write.mode("overwrite").parquet(tf_path)
-        # dl = Σ tf per doc — derived from the checkpointed TF table,
-        # so the corpus is tokenized exactly ONCE. Left join keeps
-        # zero-token docs (dl=0): N/avgdl count every document.
-        tf0 = spark.read.parquet(tf_path)
+        n = spark.read.parquet(tf_path).count()
+        man.complete("tf", n, tf_path, (time.time() - t0) * 1000)
+    tf = spark.read.parquet(tf_path)
+    # dl = Σ tf per doc — derived from the checkpointed TF table, so
+    # the corpus is tokenized exactly ONCE. Left join keeps zero-token
+    # docs (dl=0): N/avgdl count every document. Recomputed whenever
+    # absent (e.g. invalidated by an incremental append).
+    if not os.path.exists(os.path.join(dl_path, "_SUCCESS")):
         docs.select("doc_id").join(
-            tf0.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+            tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
             "doc_id",
             "left",
         ).select(
             "doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl")
         ).write.mode("overwrite").parquet(dl_path)
-        n = tf0.count()
-        man.complete("tf", n, tf_path, (time.time() - t0) * 1000)
-    tf = spark.read.parquet(tf_path)
     dl = spark.read.parquet(dl_path)
 
     stats: CorpusStats = corpus_stats(dl)

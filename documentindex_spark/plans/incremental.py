@@ -1,0 +1,114 @@
+"""Incremental index append — new documents without re-tokenizing
+the existing corpus.
+
+BM25 impacts depend on GLOBAL stats (N, avgdl, df): adding documents
+changes every stored impact, so any "append" that keeps old impact
+blobs returns stale scores. This implementation stays EXACT: it
+tokenizes ONLY the new documents (appending to the checkpointed TF
+table — the expensive stage), then re-derives stats/impacts/segments
+from the combined TF. The encode stages re-run (they're the cheap
+part: ~25% of build cost at sf0.1), tokenization of existing docs
+never does — the same guarantee the north rule's resume clause
+protects.
+
+The result is byte-identical to a from-scratch build over the union
+corpus (asserted in tests/test_incremental.py), because the whole
+pipeline is deterministic in (doc_id, term) — the appended docs take
+doc_ids following the existing max.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import term_frequencies
+from .build_index import BuiltIndex, build_index
+from .checkpoint import Manifest, stage_fingerprint
+
+
+def append_documents(
+    spark: SparkSession,
+    built: BuiltIndex,
+    new_files: DataFrame,
+    input_id: str,
+    text_col: str = "content",
+    **build_kwargs,
+) -> BuiltIndex:
+    """Append ``new_files`` (no doc_id column — ids are assigned after
+    the existing corpus) to an existing index directory.
+
+    Steps: assign doc_ids starting at n_files; tokenize ONLY the new
+    docs and append to the tf checkpoint; mark downstream stages
+    stale; re-run the build driver, which skips 'docs' and 'tf'
+    (fingerprint updated to the new input_id) and rebuilds
+    dl/stats/impacts/segments from the combined TF.
+    """
+    out_dir = built.out_dir
+    man = Manifest.load(out_dir)
+    docs_path = os.path.join(out_dir, "docs")
+    old_docs = spark.read.parquet(docs_path)
+    base_n = old_docs.count()
+
+    from pyspark.sql.window import Window
+
+    order_cols = [c for c in ("repo", "path", "commit") if c in new_files.columns]
+    if not order_cols:
+        order_cols = [text_col]
+    w = Window.orderBy(*order_cols)
+    new_with_ids = new_files.withColumn(
+        "doc_id", F.row_number().over(w).cast("long") + F.lit(base_n - 1)
+    )
+    if "content_sha" not in new_with_ids.columns:
+        new_with_ids = new_with_ids.withColumn(
+            "content_sha", F.sha2(F.col(text_col), 256)
+        )
+    # align schemas (union corpus)
+    for c in old_docs.columns:
+        if c not in new_with_ids.columns:
+            new_with_ids = new_with_ids.withColumn(c, F.lit(None))
+    new_aligned = new_with_ids.select(*old_docs.columns)
+
+    # 1. append the new docs + their TF rows (tokenizes ONLY new docs)
+    t0 = time.time()
+    new_aligned.write.mode("append").parquet(docs_path)
+    tf_path = os.path.join(out_dir, "tf")
+    term_frequencies(new_aligned, text_col).write.mode("append").parquet(tf_path)
+    tokenize_ms = (time.time() - t0) * 1000
+
+    # 2. stamp docs+tf stages as complete under the NEW fingerprints
+    fp_docs = stage_fingerprint("docs", "", input_id)
+    fp_tf = stage_fingerprint("tf", fp_docs, input_id)
+    n_total = spark.read.parquet(docs_path).count()
+    man.stages["docs"] = {"fingerprint": fp_docs, "status": "complete",
+                          "rows": n_total, "appended": True}
+    man.stages["tf"] = {
+        "fingerprint": fp_tf,
+        "status": "complete",
+        "rows": spark.read.parquet(tf_path).count(),
+        "wall_ms": round(tokenize_ms, 1),
+        "appended": True,
+    }
+    # dl + downstream must rebuild (global stats changed)
+    man.stages.pop("postings", None)
+    man.save()
+    for stale in ("dl", "doc_map", "postings"):
+        p = os.path.join(out_dir, stale)
+        if os.path.exists(p):
+            import shutil
+
+            shutil.rmtree(p)
+
+    # 3. re-run the driver: docs+tf hit their checkpoints, the rest
+    # rebuilds from the combined TF (no re-tokenization anywhere).
+    return build_index(
+        spark,
+        spark.read.parquet(docs_path),
+        out_dir,
+        input_id=input_id,
+        text_col=text_col,
+        **build_kwargs,
+    )
