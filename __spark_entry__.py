@@ -216,6 +216,88 @@ FROM b
 """
 
 
+def _minhash_near_dup_oracle(
+    threshold: float, num_hashes: int, bands: int
+) -> str:
+    """LSH bands + exact Jaccard for band-sharing pairs only —
+    mirrors dedup.minhash_near_duplicates exactly."""
+    mh_cols = ",\n       ".join(
+        "min(CAST(concat('0x', substr(md5(concat('{i}|', shingle)), 1, 8)) "
+        "AS BIGINT)) AS mh_{i}".format(i=i)
+        for i in range(num_hashes)
+    )
+    rows_per_band = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS band_key "
+        "FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        _ORACLE_SHINGLES
+        + f"""
+, sig AS (
+    SELECT doc_id, {mh_cols}
+    FROM sh GROUP BY 1
+),
+bandtab AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bandtab a JOIN bandtab b USING (band, band_key)
+    WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter::DOUBLE / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE round(n_inter::DOUBLE / (za.n_sh + zb.n_sh - n_inter), 6) >= {threshold}
+"""
+    )
+
+
+# simhash oracle: same md5 trick as minhash, bit-decomposed over a
+# 64-row lateral range; weight of bit 63 is −2^63 so the signed sum
+# equals Spark's two's-complement int64 signature.
+_SIMHASH_ORACLE = (
+    _ORACLE_TOKS
+    + """
+, th AS (
+    SELECT doc_id, tf,
+           CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS h_hi,
+           CAST(concat('0x', substr(md5(term), 9, 8)) AS BIGINT) AS h_lo
+    FROM tf WHERE doc_id % 50 = 0
+),
+bits AS (
+    SELECT doc_id, b.i AS i,
+           sum(CASE WHEN ((CASE WHEN b.i < 32 THEN h_lo >> b.i
+                                ELSE h_hi >> (b.i - 32) END) & 1) = 1
+                    THEN tf ELSE -tf END) AS acc
+    FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) b
+    GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN acc > 0 THEN
+             (CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                   ELSE (1::BIGINT << i) END)
+           ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY 1
+"""
+)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -346,10 +428,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("batch_id").cast("string").alias("batch_id"),
         )
 
-    # ---- simhash (rows-only check: md5-bit signature not SQL-expressible)
+    # ---- simhash (md5 bit-ops reproduced in DuckDB — full oracle)
     def q_simhash(spark, sf_dir):
         return dedup.simhash_signatures(_docs(spark, sf_dir)).filter(
             F.col("doc_id") % 50 == 0
+        )
+
+    # ---- minhash near-dup: LSH candidates + candidates-only verify
+    def q_minhash_near_dup(spark, sf_dir):
+        return dedup.minhash_near_duplicates(
+            _docs(spark, sf_dir), threshold=0.25, num_hashes=16, bands=4
         )
 
     # ---- streaming twins (batch-equivalent plans)
@@ -383,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_signatures": q_minhash_sample,
+        "minhash_near_dup": q_minhash_near_dup,
         "embedding_near_dup": q_emb_neardup,
         "ann_brute_topk": q_ann_topk,
         "quality_features": q_quality,
@@ -570,6 +659,8 @@ SELECT doc_id, content_sha,
             ELSE list_min(list_transform(toks, t -> md5(t))) END AS min_token_fp
 FROM n
 """,
+        "minhash_near_dup": _minhash_near_dup_oracle(0.25, 16, 4),
+        "simhash_signatures": _SIMHASH_ORACLE,
         "doc_type_votes": _doc_type_oracle(),
         "batch_packing": """
 WITH o AS (

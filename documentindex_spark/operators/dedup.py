@@ -11,9 +11,9 @@ DuckDB oracle where SQL-expressible:
                  path: cost is (docs × shingles) + band-bucket joins,
                  never all-pairs. md5 (not xxhash) so DuckDB can
                  reproduce signatures bit-for-bit.
-- simhash:      64-bit weighted-bit fingerprints via one grouped
-                 Arrow/pandas pass; near-dup = Hamming ≤ t on key
-                 prefix buckets.
+- simhash:      64-bit weighted-bit fingerprints via one built-in
+                 hash aggregate (64 conditional sums — zero Python);
+                 near-dup = Hamming ≤ t on 16-bit segment buckets.
 - embedding:    cosine ≥ threshold pairs; brute self-join baseline
                  (see ann.py for the bucketed scale path).
 
@@ -24,11 +24,8 @@ is target-side scope (task brief: first-class training-data ops).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions.tokenize import tokenize
 
@@ -205,37 +202,58 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """LSH candidates verified with exact Jaccard (compute the true
-    score ONLY for candidate pairs — the scale-path contract)."""
+    """LSH candidates verified with exact Jaccard, computed ONLY for
+    candidate pairs — the 100 TB contract.
+
+    Shape: the shingle table is first semi-joined down to docs that
+    appear in ≥1 candidate pair, then intersections come from
+    ``cand ⋈ shingles(doc_a) ⋈ shingles(doc_b on (doc, shingle))`` —
+    cost is Σ_pairs |shingles(A)|, linear in candidate mass. There is
+    NO shingle self-join anywhere in this plan (the all-pairs
+    explosion LSH exists to avoid)."""
     cand = minhash_lsh_candidates(df, num_hashes, bands, k, text_col, id_col)
-    exact = ngram_jaccard_pairs(df, 0.0, k, text_col, id_col)
+    sh = shingles(df, k, text_col, id_col)
+    docs_in_cand = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh_c = sh.join(docs_in_cand, id_col, "left_semi")
+    sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(
+            sh_c.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh_c.select(F.col(id_col).alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     return (
-        cand.join(exact, ["doc_a", "doc_b"])
+        inter.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
 
 # ------------------------------------------------------------ simhash
-
-_SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("simhash", T.LongType()),
-    ]
-)
-
-
-def _md5_hash64(terms: pd.Series) -> np.ndarray:
-    """Deterministic 64-bit term hash (md5 low 8 bytes) — vectorized
-    per unique term, md5 loop only over the vocabulary of the batch."""
-    import hashlib
-
-    uniq = pd.unique(terms)
-    lut = {
-        t: int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-        for t in uniq
-    }
-    return terms.map(lut).to_numpy(dtype=np.uint64)
 
 
 def simhash_signatures(
@@ -243,28 +261,50 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per doc: sign of the tf-weighted sum per bit.
 
-    One grouped Arrow pass: groupBy(doc).applyInPandas; inside, the
-    bit unpack + weighted sum is pure numpy (bits × terms matrix)."""
+    100% built-in expressions — ONE hash aggregate with 64
+    conditional-sum columns (whole-stage codegen, no Arrow, no
+    per-doc Python groups; the earlier applyInPandas version paid one
+    Arrow group dispatch per document — millions of tiny groups at
+    10^10 docs).
+
+    Term hash = high 8 bytes of md5(term) (== int.from_bytes(
+    md5[:8], 'big')), split into two 32-bit halves so ``conv`` never
+    overflows a signed long. Bit i of the 64-bit hash:
+    i<32 → bit i of the low half; i≥32 → bit i−32 of the high half.
+    Bit 63's weight is −2^63 so the final signed sum reproduces the
+    two's-complement int64 signature exactly. DuckDB-reproducible
+    (see the ``simhash_signatures`` oracle in __spark_entry__.py).
+    """
     tf = (
         tokenize(df, text_col, id_col)
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = _md5_hash64(pdf["term"])
-        w = pdf["tf"].to_numpy(dtype=np.float64)
-        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc = ((bits.astype(np.float64) * 2 - 1) * w[:, None]).sum(axis=0)
-        sig = np.uint64(0)
-        for i in np.flatnonzero(acc > 0):
-            sig |= np.uint64(1) << np.uint64(i)
-        return pd.DataFrame(
-            {"doc_id": [int(pdf[id_col].iloc[0])],
-             "simhash": [int(np.int64(sig))]}
+    md5 = F.md5(F.col("term"))
+    t = tf.select(
+        F.col(id_col),
+        "tf",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h_lo"),
+    )
+    aggs = []
+    for i in range(64):
+        half, off = ("h_lo", i) if i < 32 else ("h_hi", i - 32)
+        bit = F.shiftrightunsigned(F.col(half), off).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(
+                F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))
+            ).alias(f"acc_{i}")
         )
-
-    return tf.groupBy(id_col).applyInPandas(per_doc, _SIMHASH_SCHEMA)
+    accd = t.groupBy(id_col).agg(*aggs)
+    total = None
+    for i in range(64):
+        w = F.lit(-(1 << 63)).cast("long") if i == 63 else F.lit(1 << i).cast("long")
+        part = F.when(F.col(f"acc_{i}") > 0, w).otherwise(F.lit(0).cast("long"))
+        total = part if total is None else total + part
+    return accd.select(
+        F.col(id_col).alias("doc_id"), total.alias("simhash")
+    )
 
 
 def simhash_near_duplicates(

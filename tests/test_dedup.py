@@ -91,6 +91,67 @@ def test_minhash_lsh_finds_planted_dups(docs_df):
     assert (3, 5) not in pairs
 
 
+def test_minhash_near_dup_is_candidates_intersect_exact(docs_df):
+    """Candidates-only verification returns exactly
+    (LSH candidates) ∩ (exact Jaccard ≥ t) with identical scores —
+    same result set as the old all-pairs verify, without the
+    quadratic shingle self-join."""
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(
+            docs_df, num_hashes=16, bands=8
+        ).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.5).collect()
+    }
+    want = {p: j for p, j in exact.items() if p in cand}
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(
+            docs_df, threshold=0.5, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert got == want
+
+
+def _py_simhash(text: str) -> int:
+    """The original (round-1, applyInPandas) simhash algorithm as a
+    driver-side oracle: regression pin for the built-in-aggregate
+    rewrite."""
+    import re
+    from collections import Counter
+
+    tf = Counter(t for t in re.split(r"[^a-z0-9]+", text.lower()) if t)
+    acc = [0.0] * 64
+    for t, w in tf.items():
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for i in range(64):
+            acc[i] += w if (h >> i) & 1 else -w
+    sig = 0
+    for i in range(64):
+        if acc[i] > 0:
+            sig |= 1 << i
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_matches_python_oracle(docs_df):
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(docs_df).collect()
+    }
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _py_simhash(text), doc_id
+
+
+def test_simhash_plan_has_no_python_stage(docs_df):
+    df = dedup.simhash_signatures(docs_df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_simhash_identical_docs_equal(docs_df):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs_df).collect()}
     assert sigs[0] == sigs[1]
