@@ -98,10 +98,21 @@ class Engine:
     # ---------------------------------------------------------- query
 
     def search(self, query: str, k: int = TOPK_DEFAULT) -> DataFrame:
-        """Top-k BM25 via Block-Max WAND → (doc_id, score, rank)."""
-        return bmw_topk(self.spark, self._postings, {0: query}, k=k).drop(
-            "query_id"
+        """Top-k BM25 via Block-Max WAND → (doc_id, score, rank).
+
+        Multi-band indexes (n_docs > band_size) score banded BY
+        DEFAULT: segments never cross band boundaries, so each band
+        evaluates exactly and independently and a single heavy query
+        spreads across the cluster instead of landing on one task
+        (results identical — tests/test_banded.py)."""
+        band = (
+            self.built.band_size
+            if self.built.n_docs > self.built.band_size
+            else None
         )
+        return bmw_topk(
+            self.spark, self._postings, {0: query}, k=k, band_size=band
+        ).drop("query_id")
 
     def search_serve(self, query: str, k: int = TOPK_DEFAULT):
         """Low-latency driver-side top-k → [(doc_id, score)]."""

@@ -26,16 +26,14 @@ def chunks_with_ids(files: DataFrame, text_col: str = "content") -> DataFrame:
     """(chunk_id, doc_id, chunk_index, start_char, end_char,
     section_title, section_level, text) with dense global chunk_id.
 
-    Window over slim key columns only (same pattern as doc_id
-    assignment — content never moves through the single partition)."""
-    from pyspark.sql.window import Window
+    Two-pass assignment over slim key columns only (sources.registry
+    .dense_ids — no single-task window; chunk text never moves
+    through the id shuffle)."""
+    from ..sources.registry import dense_ids
 
     chunks = chunk_documents(files, text_col)
     keys = chunks.select("doc_id", "chunk_index")
-    w = Window.orderBy("doc_id", "chunk_index")
-    ids = keys.withColumn(
-        "chunk_id", F.row_number().over(w).cast("long") - 1
-    )
+    ids = dense_ids(keys, ["doc_id", "chunk_index"], "chunk_id")
     return chunks.join(F.broadcast(ids), ["doc_id", "chunk_index"])
 
 

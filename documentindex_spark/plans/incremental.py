@@ -53,19 +53,21 @@ def append_documents(
     old_docs = spark.read.parquet(docs_path)
     base_n = old_docs.count()
 
-    from pyspark.sql.window import Window
+    from ..sources.registry import dense_ids
 
-    order_cols = [c for c in ("repo", "path", "commit") if c in new_files.columns]
-    if not order_cols:
-        order_cols = [text_col]
-    w = Window.orderBy(*order_cols)
-    new_with_ids = new_files.withColumn(
-        "doc_id", F.row_number().over(w).cast("long") + F.lit(base_n - 1)
-    )
-    if "content_sha" not in new_with_ids.columns:
-        new_with_ids = new_with_ids.withColumn(
+    if "content_sha" not in new_files.columns:
+        new_files = new_files.withColumn(
             "content_sha", F.sha2(F.col(text_col), 256)
         )
+    # Identity columns when present; otherwise order by content_sha —
+    # a fixed-width key, never the raw text (ordering by full bodies
+    # pushed documents through one sort task, and duplicate texts are
+    # byte-identical rows so any order among equal shas yields the
+    # same appended corpus). Two-pass assignment: no global window.
+    order_cols = [c for c in ("repo", "path", "commit") if c in new_files.columns]
+    if not order_cols:
+        order_cols = ["content_sha"]
+    new_with_ids = dense_ids(new_files, order_cols, "doc_id", offset=base_n)
     # align schemas (union corpus)
     for c in old_docs.columns:
         if c not in new_with_ids.columns:

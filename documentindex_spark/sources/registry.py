@@ -57,29 +57,82 @@ def load_repo_files(
     return df
 
 
-def with_doc_ids(df: DataFrame) -> DataFrame:
-    """Assign the dense, RUN-REPRODUCIBLE doc_id.
+def dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_name: str = "doc_id",
+    offset: int = 0,
+) -> DataFrame:
+    """Dense, RUN-REPRODUCIBLE ids ordered by ``order_cols`` — the
+    TWO-PASS assignment (no single-task global sort anywhere):
 
-    row_number over (repo, path, commit) — NOT
-    monotonically_increasing_id, which depends on physical partitioning
-    (SURVEY.md §1.3).
+    1. range-repartition on the keys; collect ONE COUNT PER PARTITION
+       (a ``shuffle_partitions``-row collect, not data);
+    2. broadcast the prefix-sum offsets back as a literal map and rank
+       rows with a PER-PARTITION window: id = offset[pid] + rank − 1.
 
-    Scale shape: the global window runs over the KEY COLUMNS ONLY
-    (repo, path, commit — bytes, not documents); `content` never moves
-    through the single window partition. The wide rows rejoin by key
-    afterwards — a hash join co-partitioned on the natural key. At
-    10^12 files even the key window would shift to two-pass
-    per-partition offsets; the semantic contract (dense ids ordered by
-    the natural key) stays identical.
+    Ids equal ``row_number() OVER (ORDER BY order_cols) − 1 + offset``
+    by construction: partitions are range-ordered, ranks are local,
+    and each partition's offset is the exact count of rows in lower
+    ranges — independent of where the sampled range boundaries fall,
+    so the assignment is stable even though RangePartitioner samples.
+    Every stage is as wide as ``spark.sql.shuffle.partitions``
+    (the round-1 version was a one-task global window — the plan's
+    only SinglePartition exchange; asserted gone in
+    tests/test_invariants.py).
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("repo", "path", "commit")
-    ids = (
-        df.select("repo", "path", "commit")
-        .withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # pin partition boundaries: the count pass and the id pass
+        # must see the SAME partitioning (recompute after eviction is
+        # safe — same RDD lineage ⇒ same sampling seed).
+        .persist()
     )
-    # broadcast the slim id table: the wide rows (content) never
-    # shuffle. (At a scale where even ids outgrow a broadcast, swap to
-    # two-pass per-partition offsets.)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    acc = offset
+    pairs: list = []
+    for pid in sorted(counts):
+        pairs += [F.lit(pid), F.lit(acc)]
+        acc += counts[pid]
+    omap = F.create_map(*pairs) if pairs else F.create_map()
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            id_name,
+            (F.element_at(omap, F.col("_pid")) + F.col("_rn") - 1).cast(
+                "long"
+            ),
+        )
+        .drop("_pid", "_rn")
+    )
+
+
+def with_doc_ids(df: DataFrame) -> DataFrame:
+    """Assign the dense doc_id ordered by (repo, path, commit) — NOT
+    monotonically_increasing_id, which depends on physical
+    partitioning (SURVEY.md §1.3).
+
+    Scale shape: the two-pass assignment (``dense_ids``) runs over the
+    KEY COLUMNS ONLY — ``content`` never shuffles; the wide rows
+    rejoin by natural key against the broadcast slim id table. (At a
+    scale where the id table outgrows a broadcast, drop the
+    projection and run ``dense_ids`` on the full rows — one parallel
+    range shuffle of content.)
+    """
+    ids = dense_ids(
+        df.select("repo", "path", "commit"),
+        ["repo", "path", "commit"],
+        "doc_id",
+    )
     return df.join(F.broadcast(ids), ["repo", "path", "commit"])

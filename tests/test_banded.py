@@ -53,6 +53,30 @@ def test_banded_bmw_rank_identity(spark, banded_index, local_docs):
         )
 
 
+def test_engine_search_defaults_to_banded_on_multiband(
+    spark, banded_index, repo_files_small, local_docs
+):
+    """Engine.search must pass band_size automatically when the index
+    spans >1 band, so one heavy query parallelizes (VERDICT r1 #4)."""
+    from documentindex_spark.api import Engine
+
+    eng = Engine.open(
+        spark, banded_index.out_dir, repo_files_small, text_col="content"
+    )
+    assert eng.built.band_size == 37 and eng.built.n_docs > 37
+    res = eng.search("merge block", k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "doc_band" in plan  # banded grouping key in effect
+    got = [(r["rank"], int(r["doc_id"]), float(r["score"]))
+           for r in res.collect()]
+    orc = oracle.OracleIndex(local_docs)
+    want = orc.topk("merge block", 10)
+    assert [d for _, d, _ in sorted(got)] == [d for d, _ in want]
+    assert [s for _, _, s in sorted(got)] == pytest.approx(
+        [s for _, s in want], abs=1e-12
+    )
+
+
 def test_banded_equals_unbanded(spark, banded_index):
     a = bmw_topk(
         spark, banded_index.postings_path, QUERIES, k=10, band_size=37
