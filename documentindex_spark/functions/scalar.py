@@ -195,20 +195,117 @@ def pack_into_batches(
 # ----------------------------------------------- doc-type detection
 
 
-# Pattern-vote classifier (reference detector.py:28-190: 40+ regexes
-# vote, ≥2 matches wins). Code-corpus flavor: classify source kind.
+# Pattern-vote classifier at reference parity: 12 pattern-bearing
+# types + 'generic' fallback = 13 outcomes (reference models.py:25-39
+# DocumentType), 44 voting regexes (reference detector.py:28-103 has
+# 40+ across its banks). Code-corpus flavor: classify source kind.
+# Every pattern is RE2-safe (no lookaround/backrefs) so the SAME
+# string runs in Spark rlike (Java) and the auto-generated DuckDB
+# oracle (regexp_matches).
 DOC_TYPE_PATTERNS: dict[str, list[str]] = {
-    "python": [r"(?m)^def \w+\(", r"(?m)^import \w+", r"(?m)^class \w+[:(]"],
-    "markdown": [r"(?m)^#{1,6} ", r"\[.*\]\(.*\)", r"(?m)^[-*] "],
-    "config": [r"(?m)^\w+\s*[:=]\s*\S+", r"(?m)^\[\w+\]"],
-    "prose": [r"(?m)[.!?]\s+[A-Z]", r"\b(the|and|of)\b"],
+    "python": [
+        r"(?m)^def \w+\(",
+        r"(?m)^import \w+",
+        r"(?m)^class \w+[:(]",
+        r"(?m)^from \w+(\.\w+)* import ",
+        r"(?m)^\s+return\b",
+    ],
+    "javascript": [
+        r"(?m)^function \w+\(",
+        r"\bconst \w+\s*=",
+        r"=>\s*\{",
+        r"(?m)^export (default |const |function )",
+    ],
+    "sql": [
+        r"(?i)\bselect\b[\s\S]*\bfrom\b",
+        r"(?im)^create (table|view|index)\b",
+        r"(?i)\bgroup by\b",
+        r"(?i)\binsert into\b",
+    ],
+    "shell": [
+        r"(?m)^#!/bin/(ba)?sh",
+        r"(?m)^\s*(fi|done|esac)\s*$",
+        r"\$\{\w+\}",
+        r"(?m)^(export |set -e)",
+    ],
+    "html": [
+        r"(?i)<!DOCTYPE html",
+        r"(?i)<html\b",
+        r"(?i)<div\b",
+        r"</\w+>",
+    ],
+    "json": [
+        r"(?m)^\s*\{\s*$",
+        r"\"[a-z_]+\"\s*:\s*(\"|\d|\[|\{)",
+        r"(?m)^\s*\],?\s*$",
+    ],
+    "yaml": [
+        r"(?m)^---\s*$",
+        r"(?m)^[a-z_]+:\s*$",
+        r"(?m)^\s+- \w+",
+    ],
+    "markdown": [
+        r"(?m)^#{1,6} ",
+        r"\[.+\]\(.+\)",
+        r"(?m)^[-*] ",
+        r"(?m)^```",
+    ],
+    "config": [
+        r"(?m)^\[\w+(\.\w+)*\]\s*$",
+        r"(?m)^\w+\s*[:=]\s*\S+",
+        r"(?m)^[;#] ",
+    ],
+    "log": [
+        r"(?m)^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}",
+        r"(?i)\b(error|warning|fatal)\b",
+        r"Traceback \(most recent call last\)",
+        r"(?m)^\tat \w+",
+    ],
+    "rst": [
+        r"(?m)^={3,}\s*$",
+        r"(?m)^\.\. \w+::",
+        r"(?m)^:param \w+:",
+    ],
+    "prose": [
+        r"[.!?]\s+[A-Z]",
+        r"\b(the|and|of)\b",
+        r"(?m)^[A-Z][a-z]+ [a-z]+ [a-z]+",
+    ],
 }
 
+# Filename hints: extension / name fragment → type, checked BEFORE
+# content voting exactly like the reference's filename branch
+# (detector.py:127-149). First match wins, ordered most-specific
+# first.
+DOC_TYPE_FILENAME_HINTS: list[tuple[str, str]] = [
+    (r"\.py$", "python"),
+    (r"\.(js|jsx|ts|tsx|mjs)$", "javascript"),
+    (r"\.sql$", "sql"),
+    (r"\.(sh|bash)$", "shell"),
+    (r"\.(html|htm)$", "html"),
+    (r"\.json$", "json"),
+    (r"\.(yaml|yml)$", "yaml"),
+    (r"\.(md|markdown)$", "markdown"),
+    (r"\.(ini|cfg|toml|conf)$", "config"),
+    (r"\.log$", "log"),
+    (r"\.rst$", "rst"),
+    (r"\.txt$", "prose"),
+]
 
-def detect_doc_type(df: DataFrame, text_col: str = "content") -> DataFrame:
+
+def detect_doc_type(
+    df: DataFrame,
+    text_col: str = "content",
+    path_col: str | None = None,
+) -> DataFrame:
     """(doc_id, votes_<type>..., doc_type, confidence) — sum of
     pattern hits per type; argmax with min-votes=2 else 'generic';
-    confidence = min(1, votes/k) like detector.py:158-187."""
+    confidence = min(1, votes/k) like detector.py:158-187.
+
+    ``path_col``: when given, filename hints override the content
+    vote (reference detector.py:127-149 checks the filename first);
+    hinted docs get confidence 1.0. Ties between types at equal votes
+    break by type name ascending (deterministic)."""
     cols = [df["doc_id"]]
     for t in sorted(DOC_TYPE_PATTERNS):
         votes = None
@@ -216,6 +313,13 @@ def detect_doc_type(df: DataFrame, text_col: str = "content") -> DataFrame:
             hit = F.when(F.col(text_col).rlike(p), 1).otherwise(0)
             votes = hit if votes is None else votes + hit
         cols.append(votes.alias(f"votes_{t}"))
+    if path_col is not None:
+        hint = F.lit(None).cast("string")
+        for pat, t in reversed(DOC_TYPE_FILENAME_HINTS):
+            hint = F.when(
+                F.lower(F.col(path_col)).rlike(pat), F.lit(t)
+            ).otherwise(hint)
+        cols.append(hint.alias("_hint"))
     scored = df.select(*cols)
     types = sorted(DOC_TYPE_PATTERNS)
     best = F.greatest(*[F.col(f"votes_{t}") for t in types])
@@ -225,6 +329,15 @@ def detect_doc_type(df: DataFrame, text_col: str = "content") -> DataFrame:
             (F.col(f"votes_{t}") == best) & (best >= 2), F.lit(t)
         ).otherwise(pred)
     k = F.lit(3.0)
+    conf = F.round(F.least(F.lit(1.0), best / k), 6)
+    if path_col is not None:
+        pred = F.coalesce(F.col("_hint"), pred)
+        conf = F.when(F.col("_hint").isNotNull(), F.lit(1.0)).otherwise(conf)
+        return (
+            scored.withColumn("doc_type", pred)
+            .withColumn("confidence", conf)
+            .drop("_hint")
+        )
     return scored.withColumn("doc_type", pred).withColumn(
-        "confidence", F.round(F.least(F.lit(1.0), best / k), 6)
+        "confidence", conf
     )
