@@ -216,6 +216,165 @@ FROM b
 """
 
 
+# Deterministic reference-bearing text derived from the documents
+# table — the same expression in Spark and SQL, so the crossref
+# operators run on controlled input while still being driven by
+# testdata (the word-bag corpus contains none of the pattern prefix
+# words, verified against the full 31-term vocabulary).
+_SYNTH_REF_SQL = (
+    "'see Appendix A. refer to Note ' || (doc_id % 7) || "
+    "'. as shown in Table ' || (doc_id % 4) || "
+    "'.1, described in Item 2B, see Figure 9, refer to Exhibit 3.4, "
+    "in Part IV, refer to section ' || (doc_id % 3) || "
+    "'.2 and see page ' || (doc_id % 100) || '. ' || text"
+)
+
+_SYNTH_NODES_SQL = """
+  SELECT doc_id, '0' AS node_id, 'intro' AS title FROM documents
+  UNION ALL
+  SELECT doc_id, '1',
+         CASE WHEN doc_id % 2 = 0 THEN 'Note ' || (doc_id % 7)
+              ELSE (doc_id % 7) || '. revenue recognition' END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, '2', 'Table ' || (doc_id % 4) || '.1 cache'
+  FROM documents
+  UNION ALL
+  SELECT doc_id, '3',
+         CASE WHEN doc_id % 2 = 0 THEN 'Appendix A - schemas'
+              ELSE 'misc' END
+  FROM documents
+"""
+
+
+def _synth_ref_text_col():
+    return F.concat(
+        F.lit("see Appendix A. refer to Note "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(". as shown in Table "),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(
+            ".1, described in Item 2B, see Figure 9, refer to Exhibit"
+            " 3.4, in Part IV, refer to section "
+        ),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".2 and see page "),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(". "),
+        F.col("text"),
+    )
+
+
+def _synth_nodes(docs: DataFrame) -> DataFrame:
+    k7 = (F.col("doc_id") % 7).cast("string")
+    parts = [
+        docs.select(
+            "doc_id", F.lit("0").alias("node_id"), F.lit("intro").alias("title")
+        ),
+        docs.select(
+            "doc_id",
+            F.lit("1").alias("node_id"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.concat(F.lit("Note "), k7)
+            )
+            .otherwise(F.concat(k7, F.lit(". revenue recognition")))
+            .alias("title"),
+        ),
+        docs.select(
+            "doc_id",
+            F.lit("2").alias("node_id"),
+            F.concat(
+                F.lit("Table "),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit(".1 cache"),
+            ).alias("title"),
+        ),
+        docs.select(
+            "doc_id",
+            F.lit("3").alias("node_id"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("Appendix A - schemas")
+            )
+            .otherwise(F.lit("misc"))
+            .alias("title"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _crossref_family_union() -> str:
+    from documentindex_spark.operators.crossref import REF_PATTERNS
+
+    fams = []
+    for t, p in REF_PATTERNS.items():
+        pp = p.replace("'", "''")
+        fams.append(
+            f"SELECT doc_id, '{t}' AS ref_type, "
+            f"unnest(regexp_extract_all(text, '{pp}', 1)) AS ref_id "
+            "FROM synth"
+        )
+    return " UNION ALL ".join(fams)
+
+
+def _crossref_edges_oracle() -> str:
+    return f"""
+WITH synth AS (SELECT doc_id, {_SYNTH_REF_SQL} AS text FROM documents)
+SELECT DISTINCT doc_id, ref_type, ref_id
+FROM ({_crossref_family_union()})
+WHERE doc_id % 10 = 0
+"""
+
+
+def _crossref_resolved_oracle() -> str:
+    from documentindex_spark.operators.crossref import _TITLE_KEY_RE
+
+    tre = _TITLE_KEY_RE.replace("'", "''")
+    return f"""
+WITH synth AS (SELECT doc_id, {_SYNTH_REF_SQL} AS text FROM documents),
+edges AS (
+    SELECT DISTINCT doc_id, ref_type, ref_id
+    FROM ({_crossref_family_union()})
+),
+nodes AS ({_SYNTH_NODES_SQL}),
+tgt AS (
+    SELECT doc_id, node_id, lower(title) AS title_key,
+           regexp_extract(lower(title), '{tre}', 1) AS t_type,
+           regexp_extract(lower(title), '{tre}', 2) AS t_id
+    FROM nodes
+),
+tkeys AS (
+    SELECT doc_id, t_type, t_id, min(node_id) AS dst_node_id
+    FROM tgt WHERE t_type <> '' GROUP BY 1, 2, 3
+),
+e AS (SELECT doc_id, ref_type, ref_id, lower(ref_id) AS rid FROM edges),
+exact AS (
+    SELECT e.doc_id, e.ref_type, e.ref_id, e.rid, k.dst_node_id
+    FROM e LEFT JOIN tkeys k
+      ON k.doc_id = e.doc_id AND k.t_type = e.ref_type AND k.t_id = e.rid
+),
+fz AS (
+    SELECT x.doc_id, x.ref_type, x.ref_id, min(t.node_id) AS dst_node_id
+    FROM exact x JOIN tgt t ON t.doc_id = x.doc_id
+     AND ((contains(t.title_key, x.ref_type)
+           AND contains(t.title_key, x.rid))
+          OR (x.ref_type = 'note'
+              AND starts_with(t.title_key, x.rid || '.')))
+    WHERE x.dst_node_id IS NULL
+    GROUP BY 1, 2, 3
+)
+SELECT x.doc_id, x.ref_type, x.ref_id,
+       coalesce(x.dst_node_id, f.dst_node_id) AS dst_node_id,
+       coalesce(x.dst_node_id, f.dst_node_id) IS NOT NULL AS resolved
+FROM exact x LEFT JOIN fz f
+  ON f.doc_id = x.doc_id AND f.ref_type = x.ref_type
+     AND f.ref_id = x.ref_id
+WHERE x.doc_id % 3 = 0
+"""
+
+
 def _minhash_near_dup_oracle(
     threshold: float, num_hashes: int, bands: int
 ) -> str:
@@ -440,6 +599,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), threshold=0.25, num_hashes=16, bands=4
         )
 
+    # ---- cross-reference detection + two-pass resolution
+    def q_crossref_edges(spark, sf_dir):
+        from documentindex_spark.operators.crossref import detect_references
+
+        docs = _docs(spark, sf_dir)
+        synth = docs.select(
+            "doc_id",
+            F.lit("0").alias("node_id"),
+            _synth_ref_text_col().alias("text"),
+        )
+        return (
+            detect_references(synth)
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "ref_type", "ref_id")
+        )
+
+    def q_crossref_resolved(spark, sf_dir):
+        from documentindex_spark.operators.crossref import (
+            detect_references,
+            resolve_references,
+        )
+
+        docs = _docs(spark, sf_dir)
+        synth = docs.select(
+            "doc_id",
+            F.lit("0").alias("node_id"),
+            _synth_ref_text_col().alias("text"),
+        )
+        res = resolve_references(
+            detect_references(synth), _synth_nodes(docs)
+        )
+        return res.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", "ref_type", "ref_id", "dst_node_id", "resolved"
+        )
+
     # ---- streaming twins (batch-equivalent plans)
     def q_events_windowed(spark, sf_dir):
         events = load_table(spark, sf_dir, "events")
@@ -480,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_fingerprints,
         "doc_type_votes": q_doc_type,
         "batch_packing": q_batch_packing,
+        "crossref_edges": q_crossref_edges,
+        "crossref_resolved": q_crossref_resolved,
         "simhash_signatures": q_simhash,
         "events_windowed_counts": q_events_windowed,
         "events_sessionize": q_events_sessions,
@@ -660,6 +856,8 @@ SELECT doc_id, content_sha,
 FROM n
 """,
         "minhash_near_dup": _minhash_near_dup_oracle(0.25, 16, 4),
+        "crossref_edges": _crossref_edges_oracle(),
+        "crossref_resolved": _crossref_resolved_oracle(),
         "simhash_signatures": _SIMHASH_ORACLE,
         "doc_type_votes": _doc_type_oracle(),
         "batch_packing": """

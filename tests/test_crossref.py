@@ -76,6 +76,99 @@ def test_reverse_adjacency(spark):
     assert tgt[1] >= 1  # beta_helper is referenced from doc 0
 
 
+DOC_C = """Overview paragraph, see Appendix A for schema details.
+Costs are described in Item 1A. As shown in Table 4.2 the cache
+hit rate rises; see Figure 7 for the curve. Refer to Note 15 for
+revenue policy, refer to Exhibit 10.1 for the contract, in Part II
+we cover ops, see page 42, refer to section 3.2 for the protocol.
+"""
+
+
+def _nodes_c(spark, titles):
+    """One doc, given node titles; every node carries DOC_C's text so
+    each family's pattern fires."""
+    rows = [(0, str(i), t, DOC_C) for i, t in enumerate(titles)]
+    return spark.createDataFrame(
+        rows, "doc_id long, node_id string, title string, text string"
+    )
+
+
+def test_detect_all_reference_families(spark):
+    """All 10 reference families detect (cross_ref.py:36-70 analog;
+    reference tests/test_cross_ref.py detection block)."""
+    nodes = _nodes_c(spark, ["root"])
+    got = {
+        (e["ref_type"], e["ref_id"])
+        for e in detect_references(nodes).collect()
+    }
+    assert {
+        ("appendix", "A"),
+        ("item", "1A"),
+        ("table", "4.2"),
+        ("figure", "7"),
+        ("note", "15"),
+        ("exhibit", "10.1"),
+        ("part", "II"),
+        ("page", "42"),
+        ("section", "3.2"),
+    } <= got
+
+
+def test_exact_structural_resolution_doc_local(spark):
+    nodes = _nodes_c(
+        spark,
+        ["Appendix A - schemas", "Table 4.2 cache", "Section 3.2 protocol"],
+    )
+    res = {
+        (r["ref_type"], r["ref_id"]): r
+        for r in resolve_references(detect_references(nodes), nodes).collect()
+    }
+    assert res[("appendix", "A")]["resolved"]
+    assert res[("appendix", "A")]["dst_node_id"] == "0"
+    assert res[("table", "4.2")]["dst_node_id"] == "1"
+    assert res[("section", "3.2")]["dst_node_id"] == "2"
+    assert not res[("page", "42")]["resolved"]  # nothing titles a page
+
+
+def test_fuzzy_note_prefix_resolution(spark):
+    """'refer to Note 15' must match a node titled
+    '15. Revenue Recognition' — the reference's documented special
+    case (cross_ref.py:265-268)."""
+    nodes = _nodes_c(spark, ["15. Revenue Recognition", "intro"])
+    res = {
+        (r["ref_type"], r["ref_id"]): r
+        for r in resolve_references(detect_references(nodes), nodes).collect()
+    }
+    note = res[("note", "15")]
+    assert note["resolved"] and note["dst_node_id"] == "0"
+
+
+def test_fuzzy_contains_resolution(spark):
+    """'see Appendix A' matches 'APPENDIX A - Financial Tables' even
+    though the exact (type, id) key also fires; and 'Item 1A' matches
+    a title that merely CONTAINS 'item ... 1a' (fuzzy contains pass,
+    cross_ref.py:252-284)."""
+    nodes = _nodes_c(spark, ["Details for item 1A risk factors"])
+    res = {
+        (r["ref_type"], r["ref_id"]): r
+        for r in resolve_references(detect_references(nodes), nodes).collect()
+    }
+    item = res[("item", "1A")]
+    assert item["resolved"] and item["dst_node_id"] == "0"
+
+
+def test_fuzzy_pick_is_deterministic(spark):
+    """Two equally-matching titles → min node_id wins, every run."""
+    nodes = _nodes_c(
+        spark, ["note 15 policy copy B", "note 15 policy copy A"]
+    )
+    res = {
+        (r["ref_type"], r["ref_id"]): r["dst_node_id"]
+        for r in resolve_references(detect_references(nodes), nodes).collect()
+    }
+    assert res[("note", "15")] == "0"
+
+
 def test_one_hop_expansion(spark):
     nodes = _nodes(spark)
     edges = resolve_references(detect_references(nodes), nodes)
