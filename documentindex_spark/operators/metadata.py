@@ -11,8 +11,10 @@ projections, `F.coalesce` merge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.scalar import fiscal_quarter, parse_date_multi
 
 _IMPORT_RE = r"(?m)^import ([a-z_][a-z0-9_]*)"
 _DEF_RE = r"(?m)^def ([A-Za-z_][\w]*)"
@@ -47,6 +49,116 @@ def extract_code_metadata(
         F.regexp_extract(c, r"# module ([a-z_][a-z0-9_]*)", 1).alias(
             "header_module"
         ),
+    )
+
+
+# Reference regex bank (metadata.py:39-55), applied with the
+# reference's (?im) flags (metadata.py:217 uses IGNORECASE|MULTILINE).
+# RE2-safe so the driver oracle reuses the identical strings.
+METADATA_PATTERNS: dict[str, str] = {
+    "cik": r"(?:CIK|Central Index Key)[:\s#]*(\d{10}|\d{7})",
+    "ticker": r"(?:Trading Symbol|Ticker Symbol|Stock Symbol)[:\s]*([A-Z]{1,5})",
+    "company_name": r"(?:Company Name|Registrant|REGISTRANT)[:\s]*([A-Z][A-Za-z0-9 ,.&]+?)(?:\n|FORM|$)",
+    "filing_date": r"(?:Filed|Filing Date|Date Filed)[:\s]*(\w+ \d{1,2},? \d{4}|\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{4})",
+    "period_end": r"(?:For the (?:fiscal )?(?:year|quarter|period) ended?|Period of Report)[:\s]*(\w+ \d{1,2},? \d{4}|\d{4}-\d{2}-\d{2})",
+    "fiscal_year": r"(?:Fiscal Year|FY)\s*(?:End(?:ing|ed)?)?[:\s]*(\d{4})",
+}
+
+# Key financial numbers (metadata.py:47-55, :222-232) — raw matched
+# strings, exactly like the reference's key_numbers dict values.
+KEY_NUMBER_PATTERNS: dict[str, str] = {
+    "revenue": r"(?:Total\s+)?(?:Net\s+)?Revenue[s]?[:\s]*\$?\s*([\d,\.]+)\s*(?:million|billion|M|B)?",
+    "net_income": r"Net\s+Income[:\s]*\$?\s*([\d,\.]+)\s*(?:million|billion|M|B)?",
+    "eps": r"(?:Diluted\s+)?(?:EPS|Earnings\s+[Pp]er\s+[Ss]hare)[:\s]*\$?\s*([\d\.]+)",
+    "total_assets": r"Total\s+Assets[:\s]*\$?\s*([\d,\.]+)\s*(?:million|billion|M|B)?",
+    "total_liabilities": r"Total\s+Liabilities[:\s]*\$?\s*([\d,\.]+)\s*(?:million|billion|M|B)?",
+    "shareholders_equity": r"(?:Total\s+)?(?:Shareholders?'?|Stockholders?'?)\s+Equity[:\s]*\$?\s*([\d,\.]+)\s*(?:million|billion|M|B)?",
+}
+
+# Filename hints (metadata.py:249-263): ticker from 'AAPL_10K_2024',
+# fiscal year from '_2024_' / '-2024.' fragments — only when the
+# content extraction came up empty (coalesce order matches).
+FILENAME_TICKER_RE = r"^([A-Z]{1,5})[-_]"
+FILENAME_YEAR_RE = r"[_-](\d{4})[._-]"
+
+
+def _nonempty(c: Column) -> Column:
+    """regexp_extract returns '' on miss → NULL (the reference
+    returns None)."""
+    return F.when(c != "", c)
+
+
+def extract_document_metadata(
+    files: DataFrame,
+    text_col: str = "content",
+    path_col: str | None = None,
+    sample_chars: int = 20000,
+) -> DataFrame:
+    """The reference's ``MetadataExtractor.extract_sync``
+    (metadata.py:157-209) as one built-in projection:
+
+    (doc_id, company_name, ticker, cik, filing_date,
+     period_end_date, fiscal_year, fiscal_quarter,
+     revenue, net_income, eps, total_assets, total_liabilities,
+     shareholders_equity, key_numbers map).
+
+    Regexes run over the first ``sample_chars`` chars (the header
+    area, metadata.py:33 sample_size); dates parse through the same
+    9-format bank (functions.scalar.DATE_FORMATS ↔ reference
+    DATE_FORMATS :58-68); fiscal_quarter derives from the period-end
+    month (:123-133); filename hints fill ticker/fiscal_year only
+    when content yielded nothing (:249-263).
+    """
+    sample = F.substring(F.col(text_col), 1, sample_chars)
+
+    def rx(pat: str) -> Column:
+        return _nonempty(F.regexp_extract(sample, f"(?im){pat}", 1))
+
+    company = _nonempty(
+        F.regexp_replace(
+            F.trim(rx(METADATA_PATTERNS["company_name"])), r"[,.]+$", ""
+        )
+    )
+    ticker = rx(METADATA_PATTERNS["ticker"])
+    fy = rx(METADATA_PATTERNS["fiscal_year"]).cast("int")
+    if path_col is not None:
+        base = F.element_at(F.split(F.col(path_col), "/"), -1)
+        ticker = F.coalesce(
+            ticker, _nonempty(F.regexp_extract(base, FILENAME_TICKER_RE, 1))
+        )
+        fy = F.coalesce(
+            fy,
+            _nonempty(F.regexp_extract(base, FILENAME_YEAR_RE, 1)).cast(
+                "int"
+            ),
+        )
+    period_end = parse_date_multi(rx(METADATA_PATTERNS["period_end"]))
+    knum_cols = {
+        name: rx(pat) for name, pat in KEY_NUMBER_PATTERNS.items()
+    }
+    key_numbers = F.map_filter(
+        F.create_map(
+            *[
+                x
+                for name in KEY_NUMBER_PATTERNS
+                for x in (F.lit(name), knum_cols[name])
+            ]
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    return files.select(
+        "doc_id",
+        company.alias("company_name"),
+        ticker.alias("ticker"),
+        rx(METADATA_PATTERNS["cik"]).alias("cik"),
+        parse_date_multi(rx(METADATA_PATTERNS["filing_date"])).alias(
+            "filing_date"
+        ),
+        period_end.alias("period_end_date"),
+        fy.alias("fiscal_year"),
+        fiscal_quarter(period_end).alias("fiscal_quarter"),
+        *[knum_cols[name].alias(name) for name in KEY_NUMBER_PATTERNS],
+        key_numbers.alias("key_numbers"),
     )
 
 

@@ -1,0 +1,87 @@
+"""extract_document_metadata: the reference MetadataExtractor
+.extract_sync analog (metadata.py:157-209) — regex bank, 9-format
+date parsing, fiscal quarter inference, filename hints, key numbers
+(mirrors reference tests/test_metadata.py fixtures)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from documentindex_spark.operators.metadata import (
+    extract_document_metadata,
+    merge_metadata,
+)
+
+HEADER_10K = """UNITED STATES SECURITIES AND EXCHANGE COMMISSION
+Company Name: Example Tech Inc.
+CIK: 0001234567
+Trading Symbol: EXTI
+Filed: March 15, 2024
+For the fiscal year ended December 31, 2023
+Fiscal Year: 2023
+Total Revenue: $1,234.5 million
+Net Income: $234 million
+Diluted EPS: 3.21
+"""
+
+NO_CONTENT_HINTS = "plain body with nothing extractable at all"
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    df = spark.createDataFrame(
+        [
+            (0, HEADER_10K, "docs/misc.txt"),
+            (1, NO_CONTENT_HINTS, "AAPL_10K_2024.txt"),
+        ],
+        "doc_id long, content string, path string",
+    )
+    return {
+        r["doc_id"]: r
+        for r in extract_document_metadata(df, path_col="path").collect()
+    }
+
+
+def test_header_fields(extracted):
+    r = extracted[0]
+    assert r["company_name"] == "Example Tech Inc"  # trailing '.' stripped
+    assert r["cik"] == "0001234567"
+    assert r["ticker"] == "EXTI"  # content wins over filename
+    assert r["filing_date"] == datetime.date(2024, 3, 15)
+    assert r["period_end_date"] == datetime.date(2023, 12, 31)
+    assert r["fiscal_year"] == 2023
+    assert r["fiscal_quarter"] == 4  # December → Q4
+
+
+def test_key_numbers(extracted):
+    r = extracted[0]
+    assert r["revenue"] == "1,234.5"
+    assert r["net_income"] == "234"
+    assert r["eps"] == "3.21"
+    assert r["key_numbers"]["revenue"] == "1,234.5"
+    assert "total_assets" not in r["key_numbers"]
+
+
+def test_filename_hints_fill_gaps(extracted):
+    r = extracted[1]
+    assert r["ticker"] == "AAPL"
+    assert r["fiscal_year"] == 2024
+    assert r["company_name"] is None
+    assert r["filing_date"] is None
+    assert r["fiscal_quarter"] is None
+
+
+def test_merge_prefers_primary_and_unions_lists(spark):
+    p = spark.createDataFrame(
+        [(0, "A", ["x"]), (1, None, ["y"])],
+        "doc_id long, name string, tags array<string>",
+    )
+    s = spark.createDataFrame(
+        [(0, "B", ["z"]), (1, "C", ["y", "w"])],
+        "doc_id long, name string, tags array<string>",
+    )
+    got = {r["doc_id"]: r for r in merge_metadata(p, s).collect()}
+    assert got[0]["name"] == "A" and got[0]["tags"] == ["x", "z"]
+    assert got[1]["name"] == "C" and got[1]["tags"] == ["w", "y"]
