@@ -457,6 +457,164 @@ FROM bits GROUP BY 1
 )
 
 
+def _evidence_multi_oracle(
+    topics: dict[int, list[str]], th: float, ex_th: float, width: int
+) -> str:
+    """Per-topic scored CTEs + snippet projection, unioned — mirrors
+    find_all_evidence_multi exactly (earliest term position, head
+    fallback)."""
+    ctes, selects = [], []
+    for qid, terms in sorted(topics.items()):
+        tl = ", ".join(f"'{t}'" for t in terms)
+        pos = "least(" + ", ".join(
+            f"CASE WHEN strpos(lower(d.text), '{t}') = 0 "
+            f"THEN 2147483647 ELSE strpos(lower(d.text), '{t}') END"
+            for t in terms
+        ) + ")"
+        ctes.append(
+            f"scored_{qid} AS (SELECT doc_id, round(sum(impact), 6) AS "
+            f"score FROM imp WHERE term IN ({tl}) GROUP BY doc_id)"
+        )
+        selects.append(f"""
+SELECT {qid}::BIGINT AS query_id, s.doc_id, s.score,
+       CASE WHEN s.score >= {ex_th} THEN
+         substr(d.text,
+                greatest(CASE WHEN {pos} = 2147483647 THEN 0
+                              ELSE {pos} END, 1), {width})
+       ELSE NULL END AS snippet
+FROM scored_{qid} s JOIN documents d USING (doc_id)
+WHERE s.score >= {th}""")
+    return (
+        _ORACLE_TOKS
+        + ", "
+        + ", ".join(ctes)
+        + " "
+        + " UNION ALL ".join(selects)
+    )
+
+
+_EXCERPTS_ORACLE = (
+    _ORACLE_TOKS
+    + """
+, scored AS (
+    SELECT doc_id, round(sum(impact), 6) AS score
+    FROM imp WHERE term IN ('merge', 'sort') GROUP BY doc_id
+)
+SELECT s.doc_id, s.score,
+       list_transform(
+         list_slice(
+           list_sort(list_distinct(list_filter(
+             list_transform(['merge', 'sort'],
+                            t -> strpos(lower(d.text), t)),
+             p -> p > 0))),
+           1, 3),
+         p -> substr(d.text, p, 60)) AS excerpts
+FROM scored s JOIN documents d USING (doc_id)
+WHERE s.score >= 0.7
+"""
+)
+
+
+_MONTHS = [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+]
+
+
+def _synth_meta_text_col():
+    """Deterministic SEC-style header prepended to each document —
+    exercises every extract_document_metadata field."""
+    return F.concat(
+        F.lit("Company Name: Acme "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(" Corp\n"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("Fiscal Year: 2023\n")
+        ).otherwise(F.lit("")),
+        F.lit("CIK: "),
+        (F.lit(1000000000) + F.col("doc_id")).cast("string"),
+        F.lit("\nFiled: 2024-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-15\nFor the quarter ended "),
+        F.element_at(
+            F.array(*[F.lit(m) for m in _MONTHS]),
+            (F.col("doc_id") % 12 + 1).cast("int"),
+        ),
+        F.lit(" "),
+        (F.col("doc_id") % 28 + 1).cast("string"),
+        F.lit(", 2024\nRevenue: $"),
+        (F.lit(1000) + F.col("doc_id")).cast("string"),
+        F.lit(" million\nEPS: "),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".21\n"),
+        F.col("text"),
+    )
+
+
+_SYNTH_META_SQL = (
+    "'Company Name: Acme ' || (doc_id % 5) || ' Corp' || chr(10) || "
+    "CASE WHEN doc_id % 2 = 0 THEN 'Fiscal Year: 2023' || chr(10) "
+    "ELSE '' END || "
+    "'CIK: ' || (1000000000 + doc_id) || chr(10) || "
+    "'Filed: 2024-0' || (doc_id % 9 + 1) || '-15' || chr(10) || "
+    "'For the quarter ended ' || "
+    "(['January','February','March','April','May','June','July',"
+    "'August','September','October','November','December'])"
+    "[(doc_id % 12) + 1] || ' ' || (doc_id % 28 + 1) || ', 2024' || "
+    "chr(10) || 'Revenue: $' || (1000 + doc_id) || ' million' || "
+    "chr(10) || 'EPS: ' || (doc_id % 10) || '.21' || chr(10) || text"
+)
+
+
+def _metadata_oracle() -> str:
+    from documentindex_spark.operators.metadata import (
+        FILENAME_TICKER_RE,
+        FILENAME_YEAR_RE,
+        KEY_NUMBER_PATTERNS,
+        METADATA_PATTERNS,
+    )
+
+    def rx(pat: str, src: str = "content") -> str:
+        pp = ("(?im)" + pat).replace("'", "''")
+        return f"NULLIF(regexp_extract({src}, '{pp}', 1), '')"
+
+    company = (
+        "NULLIF(regexp_replace(trim("
+        + rx(METADATA_PATTERNS["company_name"])
+        + "), '[,.]+$', ''), '')"
+    )
+    fy_file = (
+        f"NULLIF(regexp_extract(base, '{FILENAME_YEAR_RE}', 1), '')::INT"
+    )
+    pe = (
+        "try_strptime("
+        + rx(METADATA_PATTERNS["period_end"])
+        + ", '%B %d, %Y')"
+    )
+    return f"""
+WITH synth AS (
+    SELECT doc_id, {_SYNTH_META_SQL} AS content,
+           'ACME_' || (2020 + doc_id % 5) || '_v1.txt' AS base
+    FROM documents
+)
+SELECT doc_id,
+       {company} AS company_name,
+       coalesce({rx(METADATA_PATTERNS["ticker"])},
+                NULLIF(regexp_extract(base, '{FILENAME_TICKER_RE}', 1), ''))
+           AS ticker,
+       {rx(METADATA_PATTERNS["cik"])} AS cik,
+       strftime(try_strptime({rx(METADATA_PATTERNS["filing_date"])},
+                             '%Y-%m-%d'), '%Y-%m-%d') AS filing_date,
+       strftime({pe}, '%Y-%m-%d') AS period_end_date,
+       coalesce({rx(METADATA_PATTERNS["fiscal_year"])}::INT, {fy_file})
+           AS fiscal_year,
+       CAST(ceil(month({pe}) / 3.0) AS INT) AS fiscal_quarter,
+       {rx(KEY_NUMBER_PATTERNS["revenue"])} AS revenue,
+       {rx(KEY_NUMBER_PATTERNS["eps"])} AS eps
+FROM synth WHERE doc_id % 5 = 0
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -634,6 +792,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "ref_type", "ref_id", "dst_node_id", "resolved"
         )
 
+    # ---- multi-topic provenance (one batched job for N topics)
+    def q_provenance_multi(spark, sf_dir):
+        from documentindex_spark.functions.tokenize import query_terms
+        from documentindex_spark.operators.bm25 import score_queries_batch
+        from documentindex_spark.operators.provenance import (
+            find_all_evidence_multi,
+        )
+
+        docs = _docs(spark, sf_dir)
+        imp = _impact_df(spark, sf_dir)
+        topics = {0: "merge sort", 1: "spark window", 2: "hash join"}
+        pairs = [
+            (qid, t) for qid, q in topics.items() for t in query_terms(q)
+        ]
+        qdf = spark.createDataFrame(pairs, "query_id long, term string")
+        scored = score_queries_batch(imp, qdf).select(
+            "query_id", "doc_id", F.round("score", 6).alias("score")
+        )
+        return find_all_evidence_multi(
+            scored, docs, topics, threshold=0.6, excerpt_threshold=0.7,
+            text_col="text", snippet_width=60,
+        )
+
+    # ---- multiple excerpts per hit (reference matched_excerpts list)
+    def q_evidence_excerpts(spark, sf_dir):
+        from documentindex_spark.operators.provenance import excerpts_col
+
+        docs = _docs(spark, sf_dir)
+        scored = score_query(_impact_df(spark, sf_dir), "merge sort")
+        hits = (
+            scored.select("doc_id", F.round("score", 6).alias("score"))
+            .filter(F.col("score") >= 0.7)
+            .join(docs.select("doc_id", "text"), "doc_id")
+        )
+        return hits.select(
+            "doc_id",
+            "score",
+            excerpts_col(
+                "text", ["merge", "sort"], width=60, max_excerpts=3
+            ).alias("excerpts"),
+        )
+
+    # ---- metadata extraction pipeline (reference extract_sync)
+    def q_metadata(spark, sf_dir):
+        from documentindex_spark.operators.metadata import (
+            extract_document_metadata,
+        )
+
+        docs = _docs(spark, sf_dir)
+        synth = docs.select(
+            "doc_id",
+            _synth_meta_text_col().alias("content"),
+            F.concat(
+                F.lit("data/ACME_"),
+                (F.lit(2020) + F.col("doc_id") % 5).cast("string"),
+                F.lit("_v1.txt"),
+            ).alias("path"),
+        )
+        md = extract_document_metadata(synth, path_col="path")
+        return md.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id",
+            "company_name",
+            "ticker",
+            "cik",
+            F.date_format("filing_date", "yyyy-MM-dd").alias("filing_date"),
+            F.date_format("period_end_date", "yyyy-MM-dd").alias(
+                "period_end_date"
+            ),
+            "fiscal_year",
+            "fiscal_quarter",
+            "revenue",
+            "eps",
+        )
+
     # ---- streaming twins (batch-equivalent plans)
     def q_events_windowed(spark, sf_dir):
         events = load_table(spark, sf_dir, "events")
@@ -676,6 +908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_packing": q_batch_packing,
         "crossref_edges": q_crossref_edges,
         "crossref_resolved": q_crossref_resolved,
+        "metadata_extracted": q_metadata,
+        "provenance_multi_topic": q_provenance_multi,
+        "evidence_excerpts": q_evidence_excerpts,
         "simhash_signatures": q_simhash,
         "events_windowed_counts": q_events_windowed,
         "events_sessionize": q_events_sessions,
@@ -858,6 +1093,13 @@ FROM n
         "minhash_near_dup": _minhash_near_dup_oracle(0.25, 16, 4),
         "crossref_edges": _crossref_edges_oracle(),
         "crossref_resolved": _crossref_resolved_oracle(),
+        "metadata_extracted": _metadata_oracle(),
+        "provenance_multi_topic": _evidence_multi_oracle(
+            {0: ["merge", "sort"], 1: ["spark", "window"],
+             2: ["hash", "join"]},
+            0.6, 0.7, 60,
+        ),
+        "evidence_excerpts": _EXCERPTS_ORACLE,
         "simhash_signatures": _SIMHASH_ORACLE,
         "doc_type_votes": _doc_type_oracle(),
         "batch_packing": """

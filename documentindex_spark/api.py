@@ -38,7 +38,11 @@ from .functions.tokenize import query_terms
 from .operators.bmw import bmw_serve, bmw_topk
 from .operators.chunker import build_nodes
 from .operators.crossref import detect_references, resolve_references
-from .operators.provenance import find_all_evidence, snippet_col
+from .operators.provenance import (
+    find_all_evidence,
+    find_all_evidence_multi,
+    snippet_col,
+)
 from .plans.build_index import BuiltIndex, build_index
 
 
@@ -58,12 +62,24 @@ class Engine:
     """One built index + its query surface."""
 
     def __init__(self, spark: SparkSession, built: BuiltIndex,
-                 docs: DataFrame, text_col: str):
+                 docs: DataFrame, text_col: str,
+                 cache_capacity: int = 256):
         self.spark = spark
         self.built = built
         self.docs = docs
         self.text_col = text_col
         self._postings = spark.read.parquet(built.postings_path)
+        # query-result cache (reference searcher.py:287-342 caches
+        # results keyed (doc, sha256(query)) with TTL, cache.py:267-288;
+        # an index build is immutable, so LRU capacity replaces TTL —
+        # the key carries the index identity, so reopening a rebuilt
+        # index never serves stale hits).
+        from collections import OrderedDict
+
+        self._result_cache: "OrderedDict[str, list]" = OrderedDict()
+        self._cache_capacity = cache_capacity
+        self.cache_hits = 0
+        self.cache_misses = 0
 
     # ---------------------------------------------------------- build
 
@@ -117,6 +133,56 @@ class Engine:
     def search_serve(self, query: str, k: int = TOPK_DEFAULT):
         """Low-latency driver-side top-k → [(doc_id, score)]."""
         return bmw_serve(self._postings, query, k=k)
+
+    def search_cached(self, query: str, k: int = TOPK_DEFAULT) -> list:
+        """Cached top-k: [(doc_id, score)]. First call computes (serve
+        path when the matched lists are small, distributed otherwise);
+        repeats return the memoized result — the reference's search
+        cache semantics (searcher.py:287-342)."""
+        import hashlib
+
+        key = hashlib.sha256(
+            f"{self.built.out_dir}|{self.built.n_docs}|{k}|{query}".encode()
+        ).hexdigest()
+        if key in self._result_cache:
+            self._result_cache.move_to_end(key)
+            self.cache_hits += 1
+            return self._result_cache[key]
+        self.cache_misses += 1
+        try:
+            res = bmw_serve(self._postings, query, k=k)
+        except ValueError:  # postings too hot for the driver path
+            res = [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in self.search(query, k).collect()
+            ]
+        self._result_cache[key] = res
+        if len(self._result_cache) > self._cache_capacity:
+            self._result_cache.popitem(last=False)
+        return res
+
+    def extract_all_topics(
+        self,
+        topics: list[str],
+        threshold: float = PROVENANCE_THRESHOLD_DEFAULT,
+        excerpt_threshold: float | None = None,
+    ) -> DataFrame:
+        """Provenance over N topics as ONE batched job (reference
+        runs topics with bounded concurrency, provenance.py:255-291)
+        → (query_id, doc_id, score, snippet); query_id indexes
+        ``topics``."""
+        qmap = dict(enumerate(topics))
+        scored = bmw_topk(
+            self.spark, self._postings, qmap, k=self.built.n_docs
+        ).select("query_id", "doc_id", "score")
+        return find_all_evidence_multi(
+            scored,
+            self.docs.select("doc_id", self.text_col),
+            qmap,
+            threshold,
+            excerpt_threshold,
+            text_col=self.text_col,
+        )
 
     def extract_all(
         self,

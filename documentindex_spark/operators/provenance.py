@@ -78,6 +78,74 @@ def find_all_evidence(
     )
 
 
+def excerpts_col(
+    text_col_name: str,
+    terms: list[str],
+    width: int = 120,
+    max_excerpts: int = 3,
+) -> Column:
+    """array<string> of up to ``max_excerpts`` excerpts — one window
+    per DISTINCT first-occurrence position of a query term, ascending
+    by position (the reference returns a matched_excerpts LIST per
+    hit, models.py:450-471 / provenance.py:297-347; round 1 kept only
+    the single earliest window). Pure built-ins via higher-order
+    array functions over the tiny terms array — SQL-expressible for
+    the oracle gate."""
+    tlist = ", ".join(f"'{t}'" for t in terms)  # analyzer terms: [a-z0-9]+
+    return F.expr(
+        f"transform(slice(array_sort(array_distinct(filter(transform("
+        f"array({tlist}), t -> locate(t, lower({text_col_name}))), "
+        f"p -> p > 0))), 1, {max_excerpts}), "
+        f"p -> substring({text_col_name}, p, {width}))"
+    )
+
+
+def find_all_evidence_multi(
+    scored: DataFrame,
+    docs: DataFrame,
+    topics: dict[int, str],
+    threshold: float,
+    excerpt_threshold: float | None = None,
+    text_col: str = "text",
+    snippet_width: int = 120,
+) -> DataFrame:
+    """N-topic provenance in ONE plan (reference extract_all_topics
+    runs N topics with bounded concurrency, provenance.py:255-291;
+    here the batch is a single job): ``scored`` is
+    (query_id, doc_id, score) for all topics; topics' term lists ride
+    a broadcast (query_id, terms) table and the snippet position is
+    the array-min of per-term locates — identical semantics to the
+    single-topic ``snippet_col``.
+
+    Returns (query_id, doc_id, score, snippet)."""
+    spark = scored.sparkSession
+    ex_th = excerpt_threshold if excerpt_threshold is not None else threshold
+    tdf = spark.createDataFrame(
+        [(qid, query_terms(t)) for qid, t in sorted(topics.items())],
+        "query_id long, terms array<string>",
+    )
+    hits = (
+        scored.filter(F.col("score") >= threshold)
+        .join(docs.select("doc_id", text_col), "doc_id")
+        .join(F.broadcast(tdf), "query_id")
+    )
+    pos = F.expr(
+        f"array_min(filter(transform(terms, "
+        f"t -> locate(t, lower({text_col}))), p -> p > 0))"
+    )
+    snippet = F.substring(
+        F.col(text_col),
+        F.greatest(F.coalesce(pos, F.lit(1)), F.lit(1)),
+        snippet_width,
+    )
+    return hits.select(
+        "query_id",
+        "doc_id",
+        "score",
+        F.when(F.col("score") >= ex_th, snippet).alias("snippet"),
+    )
+
+
 def evidence_summary(evidence: DataFrame, top_n: int = 15) -> DataFrame:
     """Top-N rollup (provenance.py:504-538): one row with match count,
     score stats, and the concatenated top-N snippets."""

@@ -51,6 +51,44 @@ def test_answer_multi_probe(engine):
     assert res["probes"][0]["fresh"] > 0
 
 
+def test_extract_all_topics_one_batch(engine, local_docs):
+    """N topics in one job must equal N single-topic extract_all runs
+    (reference provenance.py:255-291 bounded-concurrency analog)."""
+    orc = oracle.OracleIndex(local_docs)
+    topics = ["merge block", "def import"]
+    rows = engine.extract_all_topics(topics, threshold=1.0).collect()
+    by_topic: dict[int, set[int]] = {}
+    for r in rows:
+        by_topic.setdefault(int(r["query_id"]), set()).add(int(r["doc_id"]))
+    for qid, topic in enumerate(topics):
+        want = {d for d, _ in orc.all_matches(topic, 1.0)}
+        assert by_topic.get(qid, set()) == want, topic
+    assert all(r["snippet"] for r in rows)  # above the excerpt gate
+
+
+def test_search_cached_hits_and_identity(engine):
+    engine._result_cache.clear()
+    engine.cache_hits = engine.cache_misses = 0
+    a = engine.search_cached("merge block", 10)
+    b = engine.search_cached("merge block", 10)
+    assert a == b and a is b  # memoized object, no recompute
+    assert engine.cache_misses == 1 and engine.cache_hits == 1
+    assert a == engine.search_serve("merge block", 10)
+    # different k = different key
+    c = engine.search_cached("merge block", 5)
+    assert engine.cache_misses == 2 and c == a[:5]
+
+
+def test_search_cached_lru_eviction(engine):
+    engine._result_cache.clear()
+    engine._cache_capacity = 2
+    engine.search_cached("merge block", 3)
+    engine.search_cached("def import", 3)
+    engine.search_cached("index0 token1", 3)  # evicts the oldest
+    assert len(engine._result_cache) == 2
+    engine._cache_capacity = 256
+
+
 def test_open_existing(spark, engine, repo_files_small):
     e2 = Engine.open(spark, engine.built.out_dir, repo_files_small)
     got = e2.search_serve("merge block", 5)
