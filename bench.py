@@ -123,7 +123,11 @@ def main() -> None:
                     "serve_p95_sec": round(
                         serve_times[max(0, int(len(serve_times) * 0.95) - 1)], 4
                     ),
-                    "batch_qps": round(nbatch / 10 / batch_s, 2),
+                    # queries per second = query count / wall (NOT
+                    # rows/10: OOV/rare queries can return < k rows,
+                    # which would inflate the number)
+                    "batch_qps": round(len(QUERY_SET) / batch_s, 2),
+                    "batch_rows": nbatch,
                     "topk_rows": topk_rows,
                     "cpus": int(cpus),
                 }

@@ -19,6 +19,13 @@ from __future__ import annotations
 BM25_K1: float = 1.2
 BM25_B: float = 0.75
 
+# ---- Engine build-logic version ----
+# Bump whenever the BUILD pipeline's code-level semantics change in a
+# way constants don't capture (encoder layout, merge order, id
+# assignment). It feeds checkpoint.config_fingerprint, so a bump
+# self-invalidates every stale checkpoint — no manual /tmp cleanup.
+ENGINE_BUILD_VERSION: int = 2
+
 # ---- Tokenizer (frozen) ----
 # lower-case, split on runs of non-alphanumerics, drop empty tokens.
 # Chosen so the EXACT same tokenization is expressible in Spark

@@ -156,14 +156,21 @@ def pack_into_batches(
     partition_col: str | None = None,
 ) -> DataFrame:
     """Assign a ``batch_id`` so consecutive rows (in ``order_cols``
-    order) pack up to ``budget`` total cost and ≤ max_per_batch rows —
-    the reference's token-aware LLM batching (indexer.py:772-805,
-    provenance.py:349-380) as a window cumulative sum.
+    order) pack toward ``budget`` total cost and ≤ max_per_batch
+    rows — the reference's token-aware LLM batching
+    (indexer.py:772-805, provenance.py:349-380) as a window
+    cumulative sum.
 
     batch boundaries: floor((cumsum - cost) / budget) bucketing with
-    an optional row-count sub-split. Exact greedy packing is
-    sequential by nature; this closed form over-splits only when a
-    single row exceeds the budget (same as the reference's handling).
+    an optional row-count sub-split. NOTE this closed form does NOT
+    reset the accumulator at batch boundaries, so a batch's total can
+    exceed ``budget`` by up to max(cost) − the caller should pad the
+    budget accordingly (uniform costs 3000 with budget 5000 yield
+    2-row batches of 6000). It is fully relational (one window, no
+    Python) — the scale default. For the reference's exact
+    never-exceed greedy semantics use ``exact=True``
+    (``pack_into_batches_exact``): an applyInPandas pass, sequential
+    per partition.
     """
     from pyspark.sql.window import Window
 
@@ -190,6 +197,55 @@ def pack_into_batches(
             ),
         )
     return out
+
+
+def pack_into_batches_exact(
+    df: DataFrame,
+    order_cols: list[str],
+    cost_col: str,
+    budget: float,
+    max_per_batch: int | None = None,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """TRUE greedy packing (the reference's semantics: a batch NEVER
+    exceeds ``budget`` unless a single row does, indexer.py:772-805).
+    Sequential by nature → one applyInPandas pass per
+    ``partition_col`` group (or a single group when None — use only
+    when the stream fits one task; the relational
+    ``pack_into_batches`` is the scale path)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_fields = df.schema.fields + [
+        T.StructField("batch_id", T.StringType())
+    ]
+    schema = T.StructType(out_fields)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        ids = []
+        bid = 0
+        acc = 0.0
+        n = 0
+        for cost in pdf[cost_col].tolist():
+            over_budget = acc > 0 and acc + cost > budget
+            over_count = max_per_batch is not None and n >= max_per_batch
+            if over_budget or over_count:
+                bid += 1
+                acc = 0.0
+                n = 0
+            acc += float(cost)
+            n += 1
+            ids.append(str(bid))
+        pdf = pdf.copy()
+        pdf["batch_id"] = ids
+        return pdf
+
+    if partition_col:
+        return df.groupBy(partition_col).applyInPandas(pack, schema)
+    return df.coalesce(1).mapInPandas(
+        lambda it: iter([pack(pd.concat(list(it)))]), schema
+    )
 
 
 # ----------------------------------------------- doc-type detection

@@ -122,6 +122,17 @@ def build_index(
         man.hits += 1
     else:
         man.misses += 1
+        # dl and doc_map are DERIVED from tf/docs and guarded only by
+        # _SUCCESS below — when tf is invalidated (new input_id or a
+        # constants change against a reused out_dir), stale dl/doc_map
+        # from the previous build must go with it, or avgdl/dl (and
+        # therefore every impact) would silently come from the old
+        # corpus ("fingerprints cover config, not just data").
+        import shutil
+
+        for derived in (dl_path, os.path.join(out_dir, "doc_map")):
+            if os.path.exists(derived):
+                shutil.rmtree(derived)
         man.begin("tf", fp_tf)
         t0 = time.time()
         term_frequencies(docs, text_col).write.mode("overwrite").parquet(tf_path)

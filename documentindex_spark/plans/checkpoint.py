@@ -46,6 +46,7 @@ def config_fingerprint() -> str:
         "postings_per_shard": C.POSTINGS_PER_SHARD,
         "max_segment_postings": C.MAX_SEGMENT_POSTINGS,
         "num_term_buckets": C.NUM_TERM_BUCKETS,
+        "engine_build_version": C.ENGINE_BUILD_VERSION,
     }
     return hashlib.sha256(json.dumps(cfg, sort_keys=True).encode()).hexdigest()
 

@@ -1,0 +1,99 @@
+"""Phrase queries: exact token adjacency vs a pure-Python oracle."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from documentindex_spark.operators.phrase import (
+    phrase_matches,
+    phrase_topk,
+    phrase_words,
+)
+
+DOCS = [
+    (0, "merge sort is stable. quick sort is not a merge"),
+    (1, "sort merge join beats merge   sort on disk"),  # gap collapses
+    (2, "merge, sort"),  # punctuation splits → still adjacent tokens
+    (3, "mergesort is one word"),
+    (4, "sort sort sort"),
+    (5, "nothing relevant here"),
+]
+
+
+def _py_occurrences(text: str, phrase: str) -> int:
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    words = [t for t in re.split(r"[^a-z0-9]+", phrase.lower()) if t]
+    n = 0
+    for i in range(len(toks) - len(words) + 1):
+        if toks[i : i + len(words)] == words:
+            n += 1
+    return n
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.mark.parametrize(
+    "phrase", ["merge sort", "sort merge", "sort sort", "quick sort is"]
+)
+def test_phrase_matches_python_oracle(docs_df, phrase):
+    got = {
+        r["doc_id"]: r["n_occ"]
+        for r in phrase_matches(docs_df, phrase).collect()
+    }
+    want = {
+        i: _py_occurrences(t, phrase)
+        for i, t in DOCS
+        if _py_occurrences(t, phrase) > 0
+    }
+    assert got == want, phrase
+
+
+def test_phrase_words_keep_order_and_dups():
+    assert phrase_words("Sort, MERGE sort!") == ["sort", "merge", "sort"]
+
+
+def test_phrase_at_document_start(docs_df):
+    # doc 0 starts with the phrase: leading-position artifact handling
+    got = {
+        r["doc_id"]: r["n_occ"]
+        for r in phrase_matches(docs_df, "merge sort").collect()
+    }
+    assert got[0] == 1 and got[1] == 1 and got[2] == 1
+    assert 3 not in got and 4 not in got
+
+
+def test_overlapping_occurrences(docs_df):
+    got = {
+        r["doc_id"]: r["n_occ"]
+        for r in phrase_matches(docs_df, "sort sort").collect()
+    }
+    assert got == {4: 2}
+
+
+def test_phrase_topk_restricts_and_ranks(spark, docs_df):
+    from documentindex_spark.functions.tokenize import (
+        doc_lengths,
+        term_frequencies,
+    )
+    from documentindex_spark.operators.bm25 import impacts
+    from documentindex_spark.operators.stats import (
+        corpus_stats,
+        document_frequencies,
+    )
+
+    tf = term_frequencies(docs_df, text_col="text")
+    dl = doc_lengths(docs_df, text_col="text")
+    imp = impacts(tf, dl, document_frequencies(tf), corpus_stats(dl))
+    rows = phrase_topk(docs_df, imp, "merge sort", k=10).collect()
+    ids = {int(r["doc_id"]) for r in rows}
+    assert ids == {0, 1, 2}  # only true phrase matches
+    ranks = sorted((r["rank"], int(r["doc_id"])) for r in rows)
+    scores = [r["score"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["n_occ"] >= 1 for r in rows)
+    assert [rk for rk, _ in ranks] == [1, 2, 3]

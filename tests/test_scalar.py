@@ -92,6 +92,38 @@ def test_pack_into_batches(spark):
     assert all(r["count"] <= 2 for r in sizes)
 
 
+def test_pack_into_batches_exact_never_exceeds_budget(spark):
+    """The exact greedy path honors the reference's invariant (a
+    batch total never exceeds budget unless a single row does) —
+    the closed-form path documents its +max(cost) overflow instead."""
+    rows = [(u, i, c) for u in range(3)
+            for i, c in enumerate([3000, 3000, 3000, 6000, 100, 4950])]
+    df = spark.createDataFrame(rows, "user long, id long, cost long")
+    out = S.pack_into_batches_exact(
+        df, ["id"], "cost", 5000.0, partition_col="user"
+    )
+    per_batch = (
+        out.groupBy("user", "batch_id")
+        .agg({"cost": "sum", "id": "count"})
+        .collect()
+    )
+    for r in per_batch:
+        assert r["sum(cost)"] <= 6000  # only the single 6000-row overflows
+        assert r["sum(cost)"] <= 5000 or r["count(id)"] == 1
+    # python greedy oracle for one user
+    got = {
+        r["id"]: r["batch_id"]
+        for r in out.filter("user = 0").collect()
+    }
+    want, bid, acc = {}, 0, 0.0
+    for i, c in enumerate([3000, 3000, 3000, 6000, 100, 4950]):
+        if acc > 0 and acc + c > 5000:
+            bid, acc = bid + 1, 0.0
+        acc += c
+        want[i] = str(bid)
+    assert got == want
+
+
 def test_detect_doc_type(spark):
     df = spark.createDataFrame(
         [
