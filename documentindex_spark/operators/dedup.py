@@ -137,15 +137,18 @@ def _minhash_expr(i: int) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame,
+    df: DataFrame | None = None,
     num_hashes: int = 16,
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh_0..mh_{H-1}) — one grouped agg computes all H minima
-    in a single pass over the shingle stream (no H× re-scan)."""
-    sh = shingles(df, k, text_col, id_col)
+    in a single pass over the shingle stream (no H× re-scan).
+    ``sh``: precomputed shingle table (skips re-tokenizing)."""
+    if sh is None:
+        sh = shingles(df, k, text_col, id_col)
     aggs = [
         F.min(_minhash_expr(i)).alias(f"mh_{i}") for i in range(num_hashes)
     ]
@@ -153,36 +156,39 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    df: DataFrame,
+    df: DataFrame | None = None,
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs: docs sharing ≥1 LSH band.
     Band key = concat of the band's rows; bucket join per band —
-    never an all-pairs comparison."""
+    never an all-pairs comparison.
+
+    The band table is a ``stack()`` unpivot (ONE pass over the
+    signature table — the earlier 4-way union recomputed the whole
+    tokenize→shingle→minhash pipeline once per band). Pass a
+    precomputed (ideally persisted) ``sigs`` at scale so the
+    self-join's two sides share one materialization."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, k, text_col, id_col)
-    parts = []
+    if sigs is None:
+        sigs = minhash_signatures(df, num_hashes, k, text_col, id_col)
+    stack_args = []
     for b in range(bands):
-        cols = [
-            F.col(f"mh_{b * rows_per_band + r}")
+        cols = ", ".join(
+            f"cast(mh_{b * rows_per_band + r} as string)"
             for r in range(rows_per_band)
-        ]
-        parts.append(
-            sigs.select(
-                F.col(id_col).alias("doc"),
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias(
-                    "band_key"
-                ),
-            )
         )
-    bandtab = parts[0]
-    for p in parts[1:]:
-        bandtab = bandtab.unionByName(p)
+        stack_args.append(f"{b}, concat_ws('_', {cols})")
+    bandtab = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.expr(
+            f"stack({bands}, {', '.join(stack_args)}) as (band, band_key)"
+        ),
+    )
     a = bandtab.select(F.col("doc").alias("doc_a"), "band", "band_key")
     b_ = bandtab.select(F.col("doc").alias("doc_b"), "band", "band_key")
     return (
@@ -201,6 +207,7 @@ def minhash_near_duplicates(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard, computed ONLY for
     candidate pairs — the 100 TB contract.
@@ -210,9 +217,23 @@ def minhash_near_duplicates(
     ``cand ⋈ shingles(doc_a) ⋈ shingles(doc_b on (doc, shingle))`` —
     cost is Σ_pairs |shingles(A)|, linear in candidate mass. There is
     NO shingle self-join anywhere in this plan (the all-pairs
-    explosion LSH exists to avoid)."""
-    cand = minhash_lsh_candidates(df, num_hashes, bands, k, text_col, id_col)
+    explosion LSH exists to avoid).
+
+    ``cache``: persist the two multiply-consumed intermediates (the
+    shingle table — read by the signature agg, both semi-joins, and
+    both intersection sides — and the candidate table) so each is
+    computed once; AQE exchange reuse catches some of this at runtime
+    but not across differently-keyed consumers. Pass False to keep
+    the plan fully lazy (caller manages its own persistence)."""
     sh = shingles(df, k, text_col, id_col)
+    if cache:
+        sh = sh.persist()
+    sigs = minhash_signatures(num_hashes=num_hashes, id_col=id_col, sh=sh)
+    cand = minhash_lsh_candidates(
+        num_hashes=num_hashes, bands=bands, id_col=id_col, sigs=sigs
+    )
+    if cache:
+        cand = cand.persist()
     docs_in_cand = (
         cand.select(F.col("doc_a").alias(id_col))
         .unionByName(cand.select(F.col("doc_b").alias(id_col)))
@@ -318,19 +339,16 @@ def simhash_near_duplicates(
     ≤ 3 of 64 bits must agree on ≥1 of 4 segments — pigeonhole), then
     verifies exact Hamming via bit_count(xor)."""
     sigs = simhash_signatures(df, text_col, id_col)
-    parts = [
-        sigs.select(
-            F.col("doc_id").alias("doc"),
-            F.lit(s).alias("seg"),
-            F.shiftrightunsigned(F.col("simhash"), s * 16)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("seg_key"),
-        )
+    # stack() unpivot: one pass over sigs for all 4 segments (a
+    # per-segment union would recompute the signature agg 4×)
+    seg_args = ", ".join(
+        f"{s}, shiftrightunsigned(simhash, {s * 16}) & 65535"
         for s in range(4)
-    ]
-    seg = parts[0]
-    for p in parts[1:]:
-        seg = seg.unionByName(p)
+    )
+    seg = sigs.select(
+        F.col("doc_id").alias("doc"),
+        F.expr(f"stack(4, {seg_args}) as (seg, seg_key)"),
+    )
     a = seg.select(F.col("doc").alias("doc_a"), "seg", "seg_key")
     b = seg.select(F.col("doc").alias("doc_b"), "seg", "seg_key")
     cand = (
