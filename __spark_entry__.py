@@ -724,6 +724,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = emb.filter(F.col("vec_id") == 7).head()["embedding"]
         return brute_force_topk(emb, list(qv), k=10)
 
+    def q_ann_ivf(spark, sf_dir):
+        from documentindex_spark.operators.ann import (
+            ivf_assign,
+            ivf_centroids,
+            ivf_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 7).head()["embedding"]
+        cents = ivf_centroids(emb, 8)
+        assigned = ivf_assign(emb, cents)
+        return ivf_topk(assigned, cents, list(qv), k=10, n_probe=3)
+
     # ---- text analysis
     def q_quality(spark, sf_dir):
         return textstats.quality_features(_docs(spark, sf_dir)).filter(
@@ -824,6 +837,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return phrase_topk(
             docs, _impact_df(spark, sf_dir), "merge sort", k=10
         )
+
+    def q_proximity(spark, sf_dir):
+        from documentindex_spark.operators.phrase import proximity_matches
+
+        return proximity_matches(
+            _docs(spark, sf_dir), "merge", "sort", window=3
+        )
+
+    # ---- typed JSON extraction (from_json call site)
+    def q_json_metadata(spark, sf_dir):
+        from documentindex_spark.operators.metadata import (
+            parse_json_metadata,
+        )
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.lit('{"lang": "'),
+                F.col("lang"),
+                F.lit('", "n_chars": '),
+                F.col("n_chars").cast("string"),
+                F.lit(', "src": "'),
+                F.col("source"),
+                F.lit('"}'),
+            ).alias("meta_json"),
+        )
+        out = parse_json_metadata(
+            docs, "meta_json", "lang string, n_chars bigint, src string"
+        )
+        return out.filter(F.col("doc_id") % 10 == 0)
 
     # ---- multi-topic provenance (one batched job for N topics)
     def q_provenance_multi(spark, sf_dir):
@@ -933,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "embedding_near_dup": q_emb_neardup,
         "ann_brute_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf,
         "quality_features": q_quality,
         "token_counts": q_token_counts,
         "language_scores": q_lang,
@@ -944,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_extracted": q_metadata,
         "provenance_multi_topic": q_provenance_multi,
         "phrase_topk_merge_sort": q_phrase_topk,
+        "proximity_merge_sort": q_proximity,
+        "json_metadata": q_json_metadata,
         "evidence_excerpts": q_evidence_excerpts,
         "simhash_signatures": q_simhash,
         "events_windowed_counts": q_events_windowed,
@@ -1067,6 +1113,39 @@ SELECT vec_id, cos,
        row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
 FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
 """,
+        "ann_ivf_topk": f"""
+WITH c AS (
+    SELECT vec_id AS centroid_id, embedding AS centroid
+    FROM embeddings ORDER BY vec_id LIMIT 8
+),
+a AS (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           {_ORACLE_COS.format(a="e.embedding", b="c.centroid")} AS ccos
+    FROM embeddings e CROSS JOIN c
+),
+best AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC
+        ) AS rn FROM a
+    ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+cs AS (
+    SELECT c.centroid_id,
+           {_ORACLE_COS.format(a="c.centroid", b="q.qv")} AS qcos
+    FROM c CROSS JOIN q
+    ORDER BY qcos DESC, centroid_id ASC LIMIT 3
+),
+s AS (
+    SELECT b.vec_id,
+           {_ORACLE_COS.format(a="b.embedding", b="q.qv")} AS cos
+    FROM best b JOIN cs USING (centroid_id) CROSS JOIN q
+)
+SELECT vec_id, cos,
+       row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
         "quality_features": r"""
 WITH f AS (
     SELECT doc_id,
@@ -1155,6 +1234,37 @@ SELECT s.doc_id, round(s.score, 6) AS score, o.n_occ,
        row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rank
 FROM scored s JOIN occ o USING (doc_id)
 ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+""",
+        "proximity_merge_sort": """
+WITH rawtoks AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS tr
+    FROM documents
+),
+ptoks AS (
+    SELECT doc_id, r.i - 1 AS pos, tr[r.i] AS term
+    FROM rawtoks, unnest(range(1, len(tr) + 1)) AS r(i)
+    WHERE tr[r.i] <> ''
+),
+ma AS (SELECT doc_id, pos AS pa FROM ptoks WHERE term = 'merge'),
+mb AS (SELECT doc_id, pos AS pb FROM ptoks WHERE term = 'sort')
+SELECT ma.doc_id, count(*)::BIGINT AS n_pairs,
+       min(abs(pa - pb))::BIGINT AS min_dist
+FROM ma JOIN mb USING (doc_id)
+WHERE abs(pa - pb) <= 3 AND pa <> pb
+GROUP BY 1
+""",
+        "json_metadata": """
+WITH j AS (
+    SELECT doc_id,
+           '{"lang": "' || lang || '", "n_chars": ' || n_chars ||
+           ', "src": "' || source || '"}' AS meta_json
+    FROM documents
+)
+SELECT doc_id,
+       json_extract_string(meta_json, '$.lang') AS lang,
+       json_extract(meta_json, '$.n_chars')::BIGINT AS n_chars,
+       json_extract_string(meta_json, '$.src') AS src
+FROM j WHERE doc_id % 10 = 0
 """,
         "provenance_multi_topic": _evidence_multi_oracle(
             {0: ["merge", "sort"], 1: ["spark", "window"],

@@ -3,13 +3,19 @@
 - ``brute_force_topk``: exact cosine top-k — the baseline/oracle.
   Pure built-ins (zip_with dot product, TakeOrderedAndProject) —
   a full scan, fine up to ~10^7 vectors per executor-core.
-- ``lsh_sign_buckets`` + ``lsh_topk``: random-hyperplane LSH — the
+- ``lsh_sign_buckets`` + ``lsh_topk``: random-hyperplane LSH — a
   scale path. Vectors bucket by the sign-bit pattern of R seeded
   hyperplane projections (one vectorized pandas pass, numpy matmul);
   a query probes its own bucket plus all buckets within
   ``probe_bits`` Hamming flips (multi-probe), then scores exactly
   within the probed buckets. Candidates shrink ~2^R-fold; recall is
   tunable via R/probe_bits (measured in tests, not assumed).
+- ``ivf_centroids`` + ``ivf_assign`` + ``ivf_topk``: IVF — the other
+  scale path. A coarse quantizer partitions vectors into C inverted
+  lists; a query scans only the ``n_probe`` nearest lists. The
+  quantizer here is deterministic id-ordered sampling (swap in
+  pyspark.ml KMeans without touching assign/probe) so the whole
+  pipeline is DuckDB-reproducible; recall measured in tests.
 
 Task-brief scope (training-data pipeline ops); no reference analog —
 the reference has no vector search.
@@ -40,6 +46,93 @@ def brute_force_topk(
     """Exact cosine top-k: (vec_id, cos, rank), ties (cos DESC, id ASC)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = emb.select(
+        id_col, F.round(cosine_sim_col(F.col(vec_col), q), 6).alias("cos")
+    )
+    from pyspark.sql.window import Window
+
+    lim = scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cos"), F.asc(id_col))
+    return lim.withColumn("rank", F.row_number().over(w))
+
+
+# ----------------------------------------------------------------- IVF
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sampled coarse quantizer: the ``n_centroids``
+    lowest-id vectors become centroids. (Production IVF trains
+    k-means on a sample; id-ordered sampling keeps the quantizer
+    deterministic AND DuckDB-reproducible for the oracle gate — swap
+    in pyspark.ml KMeans centroids without touching assign/probe.)"""
+    return (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, centroid_id): nearest centroid by cosine
+    (rounded to 6dp; ties → min centroid_id — deterministic). The
+    centroid table broadcasts; assignment is a map-side |emb|×C
+    arithmetic pass + a per-vector window (C rows per key, parallel).
+    Persist the result — it IS the IVF index."""
+    from pyspark.sql.window import Window
+
+    ccos = F.round(
+        cosine_sim_col(F.col(vec_col), F.col("centroid")), 6
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        id_col, vec_col, "centroid_id", ccos.alias("ccos")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank centroids by cosine to the query, scan
+    ONLY the top ``n_probe`` inverted lists, score exactly inside —
+    candidates shrink ~C/n_probe-fold. (vec_id, cos, rank)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probes = [
+        r["centroid_id"]
+        for r in centroids.select(
+            "centroid_id",
+            F.round(cosine_sim_col(F.col("centroid"), q), 6).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), F.asc("centroid_id"))
+        .limit(n_probe)
+        .collect()
+    ]
+    cand = assigned.filter(F.col("centroid_id").isin(probes))
+    scored = cand.select(
         id_col, F.round(cosine_sim_col(F.col(vec_col), q), 6).alias("cos")
     )
     from pyspark.sql.window import Window

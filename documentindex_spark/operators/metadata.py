@@ -162,6 +162,23 @@ def extract_document_metadata(
     )
 
 
+def parse_json_metadata(
+    df: DataFrame,
+    json_col: str,
+    schema: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Typed extraction from a JSON string column via ``from_json``
+    (the reference parses JSON metadata out of LLM responses,
+    metadata.py:300-322 — here it's a first-class column extractor
+    for JSON-bearing corpora; malformed rows yield NULL fields, the
+    reference's error path). ``schema`` is a DDL string, e.g.
+    ``"lang string, n_chars bigint, tags array<string>"``."""
+    return df.select(
+        id_col, F.from_json(F.col(json_col), schema).alias("_m")
+    ).select(id_col, "_m.*")
+
+
 def merge_metadata(primary: DataFrame, secondary: DataFrame) -> DataFrame:
     """Field-wise outer-join merge preferring non-null primary values;
     list fields unioned (reference metadata.py:325-359 semantics:

@@ -67,6 +67,40 @@ def phrase_matches(
     return cur.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_occ"))
 
 
+def proximity_matches(
+    df: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_pairs, min_dist): docs where ``term_a`` and
+    ``term_b`` occur within ``window`` tokens of each other
+    (unordered). n_pairs counts qualifying position pairs; min_dist
+    is the closest distance.
+
+    Plan: both position tables filter to one term under the explode;
+    the |pa−pb| ≤ window predicate rides the doc_id equi-join as a
+    residual condition — a hash join, not a cartesian, because
+    doc_id is an equality key."""
+    toks = tokenize(df, text_col, id_col)
+    a = toks.filter(F.col("term") == term_a).select(
+        id_col, F.col("pos").alias("pa")
+    )
+    b = toks.filter(F.col("term") == term_b).select(
+        id_col, F.col("pos").alias("pb")
+    )
+    pairs = a.join(b, id_col).filter(
+        (F.abs(F.col("pa") - F.col("pb")) <= window)
+        & (F.col("pa") != F.col("pb"))
+    )
+    return pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.abs(F.col("pa") - F.col("pb"))).alias("min_dist"),
+    )
+
+
 def phrase_topk(
     docs: DataFrame,
     impact_df: DataFrame,

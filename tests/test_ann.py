@@ -75,3 +75,65 @@ def test_lsh_recall(spark, emb, emb_np):
         q = m[qi].tolist()
         top = lsh_topk(bucketed, q, k=1, n_planes=8, probe_bits=0).collect()
         assert top and top[0]["vec_id"] == qi
+
+
+def test_ivf_partitions_every_vector(spark, emb):
+    from documentindex_spark.operators.ann import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+    n = emb.count()
+    assert assigned.count() == n  # exactly one list per vector
+    assert assigned.select("centroid_id").distinct().count() <= 8
+    # deterministic across runs
+    a = sorted(map(tuple, assigned.select("vec_id", "centroid_id").collect()))
+    b = sorted(map(tuple, ivf_assign(emb, cents).select("vec_id", "centroid_id").collect()))
+    assert a == b
+
+
+def test_ivf_recall_vs_brute_force(spark, emb, emb_np):
+    from documentindex_spark.operators.ann import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    ids, m = emb_np
+    cents = ivf_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents).cache()
+    assigned.count()
+    recalls = []
+    for qid in (3, 7, 11, 19):
+        q = list(m[list(ids).index(qid)])
+        got = {
+            int(r["vec_id"])
+            for r in ivf_topk(assigned, cents, q, k=10, n_probe=4).collect()
+        }
+        want = {d for d, _ in _np_topk(ids, m, q, 10)}
+        recalls.append(len(got & want) / 10)
+    # probing half the lists must recover most of the exact top-10;
+    # n_probe == C degenerates to brute force (exactness checked next)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb, emb_np):
+    from documentindex_spark.operators.ann import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    ids, m = emb_np
+    q = list(m[list(ids).index(7)])
+    cents = ivf_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+    got = [
+        (int(r["vec_id"]), r["cos"])
+        for r in ivf_topk(assigned, cents, q, k=10, n_probe=8).collect()
+    ]
+    want = [
+        (int(r["vec_id"]), r["cos"])
+        for r in brute_force_topk(emb, q, k=10).collect()
+    ]
+    assert got == want

@@ -73,6 +73,28 @@ def test_filename_hints_fill_gaps(extracted):
     assert r["fiscal_quarter"] is None
 
 
+def test_parse_json_metadata_typed_and_malformed(spark):
+    from documentindex_spark.operators.metadata import parse_json_metadata
+
+    df = spark.createDataFrame(
+        [
+            (0, '{"lang": "en", "n": 42, "tags": ["a", "b"]}'),
+            (1, "not json at all"),
+            (2, '{"lang": "fr"}'),  # missing fields → NULL
+        ],
+        "doc_id long, meta string",
+    )
+    got = {
+        r["doc_id"]: (r["lang"], r["n"], r["tags"])
+        for r in parse_json_metadata(
+            df, "meta", "lang string, n bigint, tags array<string>"
+        ).collect()
+    }
+    assert got[0] == ("en", 42, ["a", "b"])
+    assert got[1] == (None, None, None)
+    assert got[2] == ("fr", None, None)
+
+
 def test_merge_prefers_primary_and_unions_lists(spark):
     p = spark.createDataFrame(
         [(0, "A", ["x"]), (1, None, ["y"])],

@@ -75,6 +75,27 @@ def test_overlapping_occurrences(docs_df):
     assert got == {4: 2}
 
 
+def test_proximity_matches_python_oracle(docs_df):
+    from documentindex_spark.operators.phrase import proximity_matches
+
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_matches(docs_df, "merge", "sort", 3).collect()
+    }
+    want = {}
+    for i, t in DOCS:
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        pa = [p for p, x in enumerate(toks) if x == "merge"]
+        pb = [p for p, x in enumerate(toks) if x == "sort"]
+        pairs = [
+            abs(a - b) for a in pa for b in pb
+            if abs(a - b) <= 3 and a != b
+        ]
+        if pairs:
+            want[i] = (len(pairs), min(pairs))
+    assert got == want
+
+
 def test_phrase_topk_restricts_and_ranks(spark, docs_df):
     from documentindex_spark.functions.tokenize import (
         doc_lengths,
