@@ -94,6 +94,26 @@ def main() -> None:
             bmw_serve(postings, q, k=k, max_collect_postings=50_000_000)
             serve_times.append(time.time() - t0)
         serve_times.sort()
+        # Spark-free serving path: pyarrow partition-pruned segment
+        # reads + in-process BMW (no job scheduling at all)
+        from documentindex_spark.operators.bmw import bmw_serve_arrow
+        import pyarrow.dataset as _ds
+
+        arrow_ds = _ds.dataset(
+            built.postings_path, format="parquet", partitioning="hive"
+        )
+        bmw_serve_arrow(
+            built.postings_path, "warmup", k=10, dataset=arrow_ds
+        )
+        arrow_times = []
+        for q, k in QUERY_SET.values():
+            t0 = time.time()
+            bmw_serve_arrow(
+                built.postings_path, q, k=k,
+                max_collect_postings=50_000_000, dataset=arrow_ds,
+            )
+            arrow_times.append(time.time() - t0)
+        arrow_times.sort()
         # batch throughput: the whole query set in ONE Spark job
         t0 = time.time()
         nbatch = bmw_topk(
@@ -122,6 +142,13 @@ def main() -> None:
                     "serve_p50_sec": round(statistics.median(serve_times), 4),
                     "serve_p95_sec": round(
                         serve_times[max(0, int(len(serve_times) * 0.95) - 1)], 4
+                    ),
+                    "serve_arrow_p50_sec": round(
+                        statistics.median(arrow_times), 4
+                    ),
+                    "serve_arrow_p95_sec": round(
+                        arrow_times[max(0, int(len(arrow_times) * 0.95) - 1)],
+                        4,
                     ),
                     # queries per second = query count / wall (NOT
                     # rows/10: OOV/rare queries can return < k rows,

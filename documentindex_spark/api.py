@@ -35,7 +35,7 @@ from .constants import (
     TOPK_DEFAULT,
 )
 from .functions.tokenize import query_terms
-from .operators.bmw import bmw_serve, bmw_topk
+from .operators.bmw import bmw_serve, bmw_serve_arrow, bmw_topk
 from .operators.chunker import build_nodes
 from .operators.crossref import detect_references, resolve_references
 from .operators.provenance import (
@@ -133,6 +133,22 @@ class Engine:
     def search_serve(self, query: str, k: int = TOPK_DEFAULT):
         """Low-latency driver-side top-k → [(doc_id, score)]."""
         return bmw_serve(self._postings, query, k=k)
+
+    def search_serve_arrow(self, query: str, k: int = TOPK_DEFAULT):
+        """Spark-free top-k: pyarrow reads only the query's segments
+        from the bucket-partitioned index (no job scheduling at all —
+        the point-lookup tier). Results identical to search/
+        search_serve."""
+        if not hasattr(self, "_arrow_ds"):
+            import pyarrow.dataset as ds
+
+            self._arrow_ds = ds.dataset(
+                self.built.postings_path, format="parquet",
+                partitioning="hive",
+            )
+        return bmw_serve_arrow(
+            self.built.postings_path, query, k=k, dataset=self._arrow_ds
+        )
 
     def search_cached(self, query: str, k: int = TOPK_DEFAULT) -> list:
         """Cached top-k: [(doc_id, score)]. First call computes (serve

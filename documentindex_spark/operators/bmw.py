@@ -347,6 +347,46 @@ def _banded(joined: DataFrame, k: int, band_size: int) -> DataFrame:
     )
 
 
+def bmw_serve_arrow(
+    index_path: str,
+    query: str,
+    k: int = TOPK_DEFAULT,
+    max_collect_postings: int = 2_000_000,
+    dataset=None,
+) -> list[tuple[int, float]]:
+    """Spark-FREE point lookup: read only the query's segment rows
+    straight from the bucket-partitioned parquet index with pyarrow
+    (hive partition pruning on ``bucket=`` dirs + row-group statistics
+    skipping on ``term``), then run BMW in-process. No job scheduling,
+    no executor round-trip — the serving-tier fast lane under the
+    same on-disk index the cluster path reads (results identical,
+    asserted in tests/test_index_bmw.py).
+
+    ``dataset``: pass a cached ``pyarrow.dataset.Dataset`` (e.g. from
+    ``Engine``) to skip re-listing files per query."""
+    import pyarrow.dataset as ds
+
+    terms = query_terms(query)
+    if not terms:
+        return []
+    if dataset is None:
+        dataset = ds.dataset(index_path, format="parquet", partitioning="hive")
+    buckets = sorted({term_bucket(t) for t in terms})
+    tbl = dataset.to_table(
+        filter=ds.field("bucket").isin(buckets) & ds.field("term").isin(terms)
+    )
+    total = sum(tbl.column("n_postings").to_pylist())
+    if total > max_collect_postings:
+        raise ValueError(
+            f"query matches {total} postings > {max_collect_postings}; "
+            "use the distributed bmw_topk path"
+        )
+    by_term: dict[str, list[Segment]] = {}
+    for row in tbl.to_pylist():
+        by_term.setdefault(row["term"], []).append(row_to_segment(row))
+    return bmw_topk_local(by_term, k)
+
+
 def bmw_serve(
     postings: DataFrame,
     query: str,

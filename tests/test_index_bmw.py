@@ -119,6 +119,25 @@ def test_bmw_serve_matches_oracle(spark, built: BuiltIndex, orc):
         bmw_serve(postings, "the", k=10, max_collect_postings=1)
 
 
+def test_bmw_serve_arrow_matches_oracle(built: BuiltIndex, orc):
+    """The Spark-free pyarrow serve path must be score-identical to
+    the oracle (and therefore to bmw_serve / bmw_topk) — partition
+    pruning + row-group skipping happen in pyarrow, BMW in-process."""
+    from documentindex_spark.operators.bmw import bmw_serve_arrow
+
+    for q in ["merge block", "the import def", "zzzz_only_oov"]:
+        got = bmw_serve_arrow(built.postings_path, q, k=10)
+        want = orc.topk(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        assert [s for _, s in got] == pytest.approx(
+            [s for _, s in want], abs=1e-12
+        )
+    with pytest.raises(ValueError):
+        bmw_serve_arrow(
+            built.postings_path, "the", k=10, max_collect_postings=1
+        )
+
+
 def test_index_df_consistency(spark, built: BuiltIndex, orc):
     """Stored df and total postings per term match the oracle."""
     segs = spark.read.parquet(built.postings_path).collect()
