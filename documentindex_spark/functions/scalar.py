@@ -174,6 +174,9 @@ def pack_into_batches(
     """
     from pyspark.sql.window import Window
 
+    # partition_col is the scale path: without it the cumsum window
+    # is a single global sort task (fine for one bounded stream,
+    # wrong for a corpus — always pass a partition key at scale).
     w = Window.orderBy(*order_cols)
     if partition_col:
         w = Window.partitionBy(partition_col).orderBy(*order_cols)
