@@ -942,6 +942,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "eps",
         )
 
+    # ---- boolean-mode BM25 (conjunctive / minimum-should-match)
+    def q_bm25_conjunctive(spark, sf_dir):
+        from documentindex_spark.operators.bm25 import score_query_boolean
+
+        scored = score_query_boolean(
+            _impact_df(spark, sf_dir), "merge sort window"
+        )
+        return scored.select(
+            "doc_id", F.round("score", 6).alias("score"), "n_matched"
+        )
+
+    def q_bm25_msm(spark, sf_dir):
+        from documentindex_spark.operators.bm25 import score_query_boolean
+
+        scored = score_query_boolean(
+            _impact_df(spark, sf_dir), "merge sort window",
+            min_should_match=2,
+        )
+        return topk(scored.select("doc_id", "score"), 10).select(
+            "doc_id", F.round("score", 6).alias("score"), "rank"
+        )
+
+    # ---- multi-granularity rollup (GROUPING SETS, one pass)
+    def q_events_rollup(spark, sf_dir):
+        from documentindex_spark.operators.rollup import multi_grain_rollup
+
+        return multi_grain_rollup(load_table(spark, sf_dir, "events"))
+
     # ---- streaming twins (batch-equivalent plans)
     def q_events_windowed(spark, sf_dir):
         events = load_table(spark, sf_dir, "events")
@@ -992,6 +1020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_metadata": q_json_metadata,
         "evidence_excerpts": q_evidence_excerpts,
         "simhash_signatures": q_simhash,
+        "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_min_should_match": q_bm25_msm,
+        "events_multi_grain_rollup": q_events_rollup,
         "events_windowed_counts": q_events_windowed,
         "events_sessionize": q_events_sessions,
     }
@@ -1287,6 +1318,43 @@ SELECT event_id, user_id,
        CAST(CAST(floor((csum - value) / 5000.0) AS BIGINT) AS VARCHAR)
            AS batch_id
 FROM o
+""",
+        "bm25_conjunctive": _ORACLE_TOKS
+        + """
+SELECT doc_id, round(sum(impact), 6) AS score,
+       count(DISTINCT term)::INT AS n_matched
+FROM imp WHERE term IN ('merge', 'sort', 'window')
+GROUP BY doc_id HAVING count(DISTINCT term) >= 3
+""",
+        "bm25_min_should_match": _ORACLE_TOKS
+        + """
+, scored AS (
+    SELECT doc_id, sum(impact) AS score
+    FROM imp WHERE term IN ('merge', 'sort', 'window')
+    GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+)
+SELECT doc_id, round(score, 6) AS score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "events_multi_grain_rollup": """
+WITH ev AS (
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS g5,
+           date_trunc('hour', ts) AS gh,
+           date_trunc('day', ts) AS gd,
+           event_type, value
+    FROM events
+)
+SELECT CASE WHEN grouping(g5) = 0 THEN '5m'
+            WHEN grouping(gh) = 0 THEN '1h'
+            ELSE '1d' END AS grain,
+       coalesce(g5, gh, gd) AS win_start,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS total
+FROM ev
+GROUP BY GROUPING SETS ((g5, event_type), (gh, event_type),
+                        (gd, event_type))
 """,
         "events_windowed_counts": """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,

@@ -100,6 +100,42 @@ def score_query(impact_df: DataFrame, query: str) -> DataFrame:
     return _ordered_sum(matched)
 
 
+def score_query_boolean(
+    impact_df: DataFrame, query: str, min_should_match: int | None = None
+) -> DataFrame:
+    """Boolean-mode BM25: (doc_id, score, n_matched) for docs
+    matching ≥ ``min_should_match`` DISTINCT query terms (default:
+    ALL terms — conjunctive AND). Scoring stays the frozen ordered
+    float64 sum; the boolean predicate is a HAVING on the distinct
+    matched-term count inside the same aggregate (no second pass).
+
+    Lucene's BooleanQuery minimumNumberShouldMatch semantics over
+    the same impact table the ranked scorer uses."""
+    terms = query_terms(query)
+    if not terms:
+        return (
+            impact_df.select(
+                "doc_id",
+                F.lit(0.0).alias("score"),
+                F.lit(0).alias("n_matched"),
+            ).limit(0)
+        )
+    need = len(terms) if min_should_match is None else min_should_match
+    matched = impact_df.filter(F.col("term").isin(terms))
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "impact"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["impact"],
+            ).alias("score"),
+            F.count_distinct(F.col("term")).cast("int").alias("n_matched"),
+        )
+        .filter(F.col("n_matched") >= need)
+    )
+
+
 def topk(scored: DataFrame, k: int) -> DataFrame:
     """(doc_id, score, rank) — TakeOrderedAndProject plan."""
     from pyspark.sql.window import Window

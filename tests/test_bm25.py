@@ -68,3 +68,47 @@ def test_all_matches_threshold_mode(impact_df, orc):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gs == pytest.approx(ws, abs=1e-12)
+
+
+def test_boolean_conjunctive_matches_oracle(impact_df, orc, local_docs):
+    """AND semantics: only docs containing EVERY query term; scores
+    equal the ranked scorer's for those docs."""
+    from documentindex_spark.operators.bm25 import score_query_boolean
+
+    query = "merge block"
+    got = {
+        int(r["doc_id"]): (float(r["score"]), r["n_matched"])
+        for r in score_query_boolean(impact_df, query).collect()
+    }
+    import re
+
+    want_scores = dict(orc.all_matches(query, float("-inf")))
+    want_ids = {
+        d for d, text in local_docs.items()
+        if {"merge", "block"}
+        <= set(t for t in re.split(r"[^a-z0-9]+", text.lower()) if t)
+    }
+    assert set(got) == want_ids
+    for d, (s, n) in got.items():
+        assert n == 2
+        assert s == pytest.approx(want_scores[d], abs=1e-12)
+
+
+def test_boolean_min_should_match(impact_df, local_docs):
+    """msm=1 degenerates to the disjunctive scorer's doc set."""
+    from documentindex_spark.operators.bm25 import score_query_boolean
+
+    query = "merge block"
+    msm1 = {
+        int(r["doc_id"])
+        for r in score_query_boolean(impact_df, query, 1).collect()
+    }
+    disj = {
+        int(r["doc_id"]) for r in score_query(impact_df, query).collect()
+    }
+    assert msm1 == disj
+    msm2 = {
+        int(r["doc_id"])
+        for r in score_query_boolean(impact_df, query, 2).collect()
+    }
+    assert msm2 <= msm1

@@ -173,3 +173,28 @@ def test_sessionize(spark):
         for r in ev.sessionize(events, gap_minutes=30).collect()
     }
     assert got == {(10, 0): 2, (10, 1): 1, (20, 0): 1}
+
+
+def test_multi_grain_rollup_internally_consistent(spark):
+    """Each coarser grain's totals must equal the sum of its finer
+    buckets (one GROUPING SETS pass produces all three)."""
+    from documentindex_spark.operators.rollup import multi_grain_rollup
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = multi_grain_rollup(events).collect()
+    by_grain: dict[str, dict] = {"5m": {}, "1h": {}, "1d": {}}
+    for r in rows:
+        by_grain[r["grain"]][(r["win_start"], r["event_type"])] = (
+            r["n"], r["total"],
+        )
+    assert by_grain["5m"] and by_grain["1h"] and by_grain["1d"]
+    # roll 5m up to 1h by hand and compare counts
+    import collections
+
+    agg = collections.Counter()
+    for (ws, et), (n, _) in by_grain["5m"].items():
+        agg[(ws.replace(minute=0, second=0, microsecond=0), et)] += n
+    assert dict(agg) == {k: n for k, (n, _) in by_grain["1h"].items()}
+    total_events = events.count()
+    for grain in ("5m", "1h", "1d"):
+        assert sum(n for n, _ in by_grain[grain].values()) == total_events
