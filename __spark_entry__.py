@@ -942,6 +942,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "eps",
         )
 
+    # ---- scalar bank sample (§2.8 rows under the oracle gate)
+    def q_scalar_bank(spark, sf_dir):
+        from documentindex_spark.functions.scalar import (
+            normalize_whitespace,
+            truncate_middle,
+        )
+
+        docs = _docs(spark, sf_dir)
+        return docs.filter(F.col("doc_id") % 25 == 0).select(
+            "doc_id",
+            truncate_middle(F.col("text"), 80).alias("trunc80"),
+            normalize_whitespace(F.col("text")).alias("norm_ws"),
+            F.floor(F.length("text") / 4).cast("int").alias("tok_est"),
+        )
+
     # ---- boolean-mode BM25 (conjunctive / minimum-should-match)
     def q_bm25_conjunctive(spark, sf_dir):
         from documentindex_spark.operators.bm25 import score_query_boolean
@@ -1020,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_metadata": q_json_metadata,
         "evidence_excerpts": q_evidence_excerpts,
         "simhash_signatures": q_simhash,
+        "scalar_bank": q_scalar_bank,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_min_should_match": q_bm25_msm,
         "events_multi_grain_rollup": q_events_rollup,
@@ -1318,6 +1334,16 @@ SELECT event_id, user_id,
        CAST(CAST(floor((csum - value) / 5000.0) AS BIGINT) AS VARCHAR)
            AS batch_id
 FROM o
+""",
+        "scalar_bank": r"""
+SELECT doc_id,
+       CASE WHEN length(text) <= 80 THEN text
+            ELSE substr(text, 1, 40) || ' ... ' ||
+                 substr(text, length(text) - 39, 40) END AS trunc80,
+       trim(regexp_replace(regexp_replace(text, '\r\n?', chr(10), 'g'),
+                           '[ \t]+', ' ', 'g')) AS norm_ws,
+       floor(length(text) / 4)::INT AS tok_est
+FROM documents WHERE doc_id % 25 = 0
 """,
         "bm25_conjunctive": _ORACLE_TOKS
         + """
