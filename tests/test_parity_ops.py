@@ -114,7 +114,10 @@ def test_multimodal_plumbing(spark):
     assert len(feats) == 30
     for r in feats:
         assert len(r["feature"]) == 16
-        assert r["decoder"] == "stub"  # no media libs in this container
+        # BMP images and PCM WAV decode for REAL (in-repo byte
+        # parsers); only codec formats (mp4 video) use the stub
+        want_decoder = "stub" if r["kind"] == "video" else "real"
+        assert r["decoder"] == want_decoder, (r["asset_id"], r["kind"])
         assert all(0.0 <= v < 1.0 for v in r["feature"])
     # determinism across recomputation
     again = multimodal.extract_features(assets, dim=16).collect()
