@@ -10,6 +10,9 @@ Reference API → this API (parity map for switchers):
 | ``ProvenanceExtractor.extract_all(topic)``   | ``Engine.extract_all``     |
 | ``AgenticQA.answer(question)``               | ``Engine.answer``          |
 | ``CrossRefResolver.resolve_references``      | ``Engine.cross_references``|
+| ``ProvenanceExtractor`` multi-topic loop     | ``Engine.extract_all_topics`` (one batched job) |
+| ``NodeSearcher`` result cache (searcher.py:287-342) | ``Engine.search_cached`` (LRU) |
+| — (serving-tier addition)                    | ``Engine.search_serve_arrow`` (Spark-free pyarrow lookups) |
 
 (/root/reference/src/documentindex/__init__.py exports; indexer.py:102,
 searcher.py:56, provenance.py:84, agentic_qa.py:78, cross_ref.py:169.)

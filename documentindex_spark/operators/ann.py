@@ -79,6 +79,41 @@ def ivf_centroids(
     )
 
 
+def ivf_centroids_kmeans(
+    emb: DataFrame,
+    n_centroids: int,
+    seed: int = SEED,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """KMeans-trained coarse quantizer (the production IVF path) —
+    pyspark.ml KMeans over the embedding column, seeded for
+    reproducibility. Returns the same (centroid_id, centroid) shape
+    as ``ivf_centroids``, so assign/probe are unchanged. Not
+    SQL-reproducible (iterative) — covered by recall tests rather
+    than the DuckDB oracle (the sampled quantizer keeps that role)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    feats = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(feats)
+    rows = [
+        (i, [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(
+        rows, f"centroid_id long, centroid array<double>"
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,

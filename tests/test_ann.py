@@ -137,3 +137,36 @@ def test_ivf_full_probe_equals_brute_force(spark, emb, emb_np):
         for r in brute_force_topk(emb, q, k=10).collect()
     ]
     assert got == want
+
+
+def test_ivf_kmeans_quantizer_recall(spark, emb, emb_np):
+    """The KMeans-trained quantizer plugs into the same assign/probe
+    and should reach at least the sampled quantizer's recall."""
+    from documentindex_spark.operators.ann import (
+        ivf_assign,
+        ivf_centroids_kmeans,
+        ivf_topk,
+    )
+
+    ids, m = emb_np
+    cents = ivf_centroids_kmeans(emb, 8, seed=42).cache()
+    assert cents.count() == 8
+    assigned = ivf_assign(emb, cents).cache()
+    assert assigned.count() == emb.count()
+    recalls = []
+    for qid in (3, 7, 11, 19):
+        q = list(m[list(ids).index(qid)])
+        got = {
+            int(r["vec_id"])
+            for r in ivf_topk(assigned, cents, q, k=10, n_probe=4).collect()
+        }
+        want = {d for d, _ in _np_topk(ids, m, q, 10)}
+        recalls.append(len(got & want) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # seeded determinism: same centroids on refit
+    again = ivf_centroids_kmeans(emb, 8, seed=42)
+    a = sorted(map(tuple, (tuple(r["centroid"]) for r in cents.collect())))
+    b = sorted(map(tuple, (tuple(r["centroid"]) for r in again.collect())))
+    import numpy as np
+
+    assert np.allclose(np.array(a), np.array(b))
