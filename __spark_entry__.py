@@ -639,6 +639,35 @@ FROM synth WHERE doc_id % 5 = 0
 """
 
 
+_PHRASE_MERGE_SORT_ORACLE = _ORACLE_TOKS + """
+, rawtoks AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS tr
+    FROM documents
+),
+ptoks AS (
+    -- positions mirror Spark posexplode over the raw split array
+    -- (0-based, boundary empty-string artifacts keep their slots)
+    SELECT doc_id, r.i - 1 AS pos, tr[r.i] AS term
+    FROM rawtoks, unnest(range(1, len(tr) + 1)) AS r(i)
+    WHERE tr[r.i] <> ''
+),
+m0 AS (SELECT doc_id, pos AS p0 FROM ptoks WHERE term = 'merge'),
+m1 AS (SELECT doc_id, pos - 1 AS p0 FROM ptoks WHERE term = 'sort'),
+occ AS (
+    SELECT m0.doc_id, count(*)::BIGINT AS n_occ
+    FROM m0 JOIN m1 USING (doc_id, p0) GROUP BY 1
+),
+scored AS (
+    SELECT doc_id, sum(impact) AS score
+    FROM imp WHERE term IN ('merge', 'sort') GROUP BY doc_id
+)
+SELECT s.doc_id, round(s.score, 6) AS score, o.n_occ,
+       row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rank
+FROM scored s JOIN occ o USING (doc_id)
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -838,6 +867,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, _impact_df(spark, sf_dir), "merge sort", k=10
         )
 
+    def q_phrase_indexed(spark, sf_dir):
+        from documentindex_spark.plans.positions import (
+            build_positions_table,
+            phrase_topk_indexed,
+        )
+
+        docs = _docs(spark, sf_dir)
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        pos_path = build_positions_table(
+            spark, docs, f"/tmp/dix_positions_{tag}", text_col="text"
+        )
+        return phrase_topk_indexed(spark, pos_path, "merge sort", k=10)
+
     def q_proximity(spark, sf_dir):
         from documentindex_spark.operators.phrase import proximity_matches
 
@@ -1031,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_extracted": q_metadata,
         "provenance_multi_topic": q_provenance_multi,
         "phrase_topk_merge_sort": q_phrase_topk,
+        "phrase_topk_indexed": q_phrase_indexed,
         "proximity_merge_sort": q_proximity,
         "json_metadata": q_json_metadata,
         "evidence_excerpts": q_evidence_excerpts,
@@ -1254,34 +1297,8 @@ FROM n
         "crossref_edges": _crossref_edges_oracle(),
         "crossref_resolved": _crossref_resolved_oracle(),
         "metadata_extracted": _metadata_oracle(),
-        "phrase_topk_merge_sort": _ORACLE_TOKS
-        + """
-, rawtoks AS (
-    SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS tr
-    FROM documents
-),
-ptoks AS (
-    -- positions mirror Spark posexplode over the raw split array
-    -- (0-based, boundary empty-string artifacts keep their slots)
-    SELECT doc_id, r.i - 1 AS pos, tr[r.i] AS term
-    FROM rawtoks, unnest(range(1, len(tr) + 1)) AS r(i)
-    WHERE tr[r.i] <> ''
-),
-m0 AS (SELECT doc_id, pos AS p0 FROM ptoks WHERE term = 'merge'),
-m1 AS (SELECT doc_id, pos - 1 AS p0 FROM ptoks WHERE term = 'sort'),
-occ AS (
-    SELECT m0.doc_id, count(*)::BIGINT AS n_occ
-    FROM m0 JOIN m1 USING (doc_id, p0) GROUP BY 1
-),
-scored AS (
-    SELECT doc_id, sum(impact) AS score
-    FROM imp WHERE term IN ('merge', 'sort') GROUP BY doc_id
-)
-SELECT s.doc_id, round(s.score, 6) AS score, o.n_occ,
-       row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rank
-FROM scored s JOIN occ o USING (doc_id)
-ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
-""",
+        "phrase_topk_merge_sort": _PHRASE_MERGE_SORT_ORACLE,
+        "phrase_topk_indexed": _PHRASE_MERGE_SORT_ORACLE,
         "proximity_merge_sort": """
 WITH rawtoks AS (
     SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS tr

@@ -1,0 +1,154 @@
+"""Positional index — phrase search WITHOUT re-tokenizing the corpus.
+
+``operators/phrase.py`` computes adjacency from a tokenize pass over
+the documents; correct, but at 100 TB a per-query tokenize of the
+corpus is the wrong cost model. This plan materializes a
+bucket-partitioned POSITIONS table once at build time:
+
+    (bucket, term, doc_id, impact, positions array<int>)
+
+- same crc32 term bucketing as the main index → a phrase query scans
+  only its words' buckets (partition pruning) with the term predicate
+  pushed into parquet row-group stats;
+- ``positions`` are the tokenizer ordinals (ascending); parquet's
+  delta/dictionary encodings compress them — Spark-first, no custom
+  codec needed on this table (the blob codec earns its keep on the
+  merge-heavy main index);
+- per-(term, doc) ``impact`` rides along so phrase ranking needs NO
+  second table: score = the frozen ascending-term float64 sum over
+  the phrase's distinct terms — identical to the BM25 scorer.
+
+Query (`phrase_topk_indexed`): read the words' rows → self-join on
+doc_id → occurrence starts = fold of array_intersect over
+position arrays shifted by the word index (all built-ins; JVM-side)
+→ docs with n_occ ≥ 1 rank by the ordered impact sum. Rank- and
+score-identical to the tokenize-based operator (tests) and to the
+DuckDB oracle (driver entry ``phrase_topk_indexed``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import NUM_TERM_BUCKETS, TOPK_DEFAULT
+from ..functions.tokenize import tokenize
+from ..operators.bm25 import impacts
+from ..operators.phrase import phrase_words
+from ..operators.stats import corpus_stats, document_frequencies
+
+
+def build_positions_table(
+    spark: SparkSession,
+    files: DataFrame,
+    out_dir: str,
+    text_col: str = "content",
+) -> str:
+    """Tokenize ONCE → (bucket, term, doc_id, impact, positions) →
+    bucket-partitioned parquet. Returns the table path."""
+    toks = tokenize(files, text_col)
+    tf_pos = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    dl = tf_pos.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dl = (
+        files.select("doc_id")
+        .join(dl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl"),
+        )
+    )
+    stats = corpus_stats(dl)
+    dfreq = document_frequencies(tf_pos.select("doc_id", "term", "tf"))
+    imp = impacts(
+        tf_pos.select("doc_id", "term", "tf"), dl, dfreq, stats
+    ).select("doc_id", "term", "impact")
+    out = (
+        tf_pos.join(imp, ["doc_id", "term"])
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.crc32(F.col("term").cast("binary")),
+                F.lit(NUM_TERM_BUCKETS),
+            ).cast("int"),
+        )
+        .select("bucket", "term", "doc_id", "impact", "positions")
+    )
+    path = os.path.join(out_dir, "positions")
+    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return path
+
+
+def phrase_topk_indexed(
+    spark: SparkSession,
+    positions_path: str,
+    phrase: str,
+    k: int = TOPK_DEFAULT,
+) -> DataFrame:
+    """(doc_id, score, n_occ, rank) from the positional index only —
+    no document table, no re-tokenize. Pruned scan → per-word
+    position arrays pivoted onto one row per doc → occurrence starts
+    via shifted array_intersect fold → ordered impact sum → top-k."""
+    from zlib import crc32
+
+    from pyspark.sql.window import Window
+
+    words = phrase_words(phrase)
+    if not words:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, n_occ long, rank int"
+        )
+    buckets = sorted(
+        {crc32(w.encode("utf-8")) % NUM_TERM_BUCKETS for w in words}
+    )
+    rows = spark.read.parquet(positions_path).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(sorted(set(words)))
+    )
+    # one row per doc: positions per word slot, impacts per distinct term
+    def _shift(i: int):
+        # closure factory: a (p, idx) two-arg lambda would make Spark
+        # pass the ARRAY INDEX as the second argument
+        return lambda p: p - F.lit(i)
+
+    per_word = None
+    for i, w in enumerate(words):
+        side = rows.filter(F.col("term") == w).select(
+            "doc_id",
+            F.transform(F.col("positions"), _shift(i)).alias(f"p{i}"),
+        )
+        per_word = side if per_word is None else per_word.join(
+            side, "doc_id"
+        )
+    starts = F.col("p0")
+    for i in range(1, len(words)):
+        starts = F.array_intersect(starts, F.col(f"p{i}"))
+    occ = per_word.select(
+        "doc_id", F.size(starts).alias("n_occ")
+    ).filter(F.col("n_occ") >= 1)
+    scored = (
+        rows.filter(F.col("term").isin(sorted(set(words))))
+        .join(occ.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "impact"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["impact"],
+            ).alias("score")
+        )
+    )
+    lim = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .join(occ, "doc_id")
+    )
+    w_rank = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return lim.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "n_occ",
+    ).withColumn("rank", F.row_number().over(w_rank))

@@ -96,6 +96,43 @@ def test_proximity_matches_python_oracle(docs_df):
     assert got == want
 
 
+def test_phrase_topk_indexed_equals_tokenize_path(spark, docs_df, tmp_path):
+    """The positional-index phrase scorer must be rank-, score- AND
+    n_occ-identical to the per-query-tokenize operator — same frozen
+    semantics, index-resident cost model."""
+    from documentindex_spark.functions.tokenize import (
+        doc_lengths,
+        term_frequencies,
+    )
+    from documentindex_spark.operators.bm25 import impacts
+    from documentindex_spark.operators.stats import (
+        corpus_stats,
+        document_frequencies,
+    )
+    from documentindex_spark.plans.positions import (
+        build_positions_table,
+        phrase_topk_indexed,
+    )
+
+    pos_path = build_positions_table(
+        spark, docs_df.withColumnRenamed("text", "content"),
+        str(tmp_path), text_col="content",
+    )
+    tf = term_frequencies(docs_df, text_col="text")
+    dl = doc_lengths(docs_df, text_col="text")
+    imp = impacts(tf, dl, document_frequencies(tf), corpus_stats(dl))
+    for phrase in ["merge sort", "sort sort", "sort merge join"]:
+        got = sorted(
+            (r["rank"], int(r["doc_id"]), r["score"], r["n_occ"])
+            for r in phrase_topk_indexed(spark, pos_path, phrase, 10).collect()
+        )
+        want = sorted(
+            (r["rank"], int(r["doc_id"]), r["score"], r["n_occ"])
+            for r in phrase_topk(docs_df, imp, phrase, 10).collect()
+        )
+        assert got == want, phrase
+
+
 def test_phrase_topk_restricts_and_ranks(spark, docs_df):
     from documentindex_spark.functions.tokenize import (
         doc_lengths,
