@@ -451,6 +451,59 @@ WHERE round(n_inter::DOUBLE / (za.n_sh + zb.n_sh - n_inter), 6) >= {threshold}
     )
 
 
+def _minhash_incremental_oracle(
+    threshold: float, num_hashes: int, bands: int
+) -> str:
+    """corpus (doc_id%5<>0) × new batch (doc_id%5=0): band join across
+    the two sides, candidates-only Jaccard — mirrors
+    dedup.minhash_near_duplicates_incremental."""
+    mh_cols = ",\n       ".join(
+        "min(CAST(concat('0x', substr(md5(concat('{i}|', shingle)), 1, 8)) "
+        "AS BIGINT)) AS mh_{i}".format(i=i)
+        for i in range(num_hashes)
+    )
+    rows_per_band = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS band_key "
+        "FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        _ORACLE_SHINGLES
+        + f"""
+, sig AS (
+    SELECT doc_id, {mh_cols}
+    FROM sh GROUP BY 1
+),
+bandtab AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bandtab a JOIN bandtab b USING (band, band_key)
+    WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter::DOUBLE / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE round(n_inter::DOUBLE / (za.n_sh + zb.n_sh - n_inter), 6) >= {threshold}
+"""
+    )
+
+
 # simhash oracle: same md5 trick as minhash, bit-decomposed over a
 # 64-row lateral range; weight of bit 63 is −2^63 so the signed sum
 # equals Spark's two's-complement int64 signature.
@@ -746,6 +799,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_emb_neardup(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         return dedup.embedding_near_duplicates(emb, threshold=0.35)
+
+    def q_minhash_incremental(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        new = docs.filter(F.col("doc_id") % 5 == 0)
+        return dedup.minhash_near_duplicates_incremental(
+            new, corpus, threshold=0.25, num_hashes=16, bands=4
+        )
 
     # ---- ANN
     def q_ann_topk(spark, sf_dir):
@@ -1059,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_signatures": q_minhash_sample,
         "minhash_near_dup": q_minhash_near_dup,
+        "minhash_incremental_dedup": q_minhash_incremental,
         "embedding_near_dup": q_emb_neardup,
         "ann_brute_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf,
@@ -1294,6 +1356,9 @@ SELECT doc_id, content_sha,
 FROM n
 """,
         "minhash_near_dup": _minhash_near_dup_oracle(0.25, 16, 4),
+        "minhash_incremental_dedup": _minhash_incremental_oracle(
+            0.25, 16, 4
+        ),
         "crossref_edges": _crossref_edges_oracle(),
         "crossref_resolved": _crossref_resolved_oracle(),
         "metadata_extracted": _metadata_oracle(),

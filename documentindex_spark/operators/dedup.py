@@ -274,6 +274,97 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_near_duplicates_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an INCOMING batch against an existing corpus — the
+    ingestion-pipeline shape at scale: candidates come from
+    ``new_bands ⋈ corpus_bands`` (small × large bucket join — the new
+    side broadcasts when tiny), never corpus × corpus. Exact Jaccard
+    verifies candidate pairs only, with the corpus shingle table
+    semi-joined down to candidate docs first.
+
+    Returns (doc_a = corpus id, doc_b = new id, jaccard ≥ threshold).
+    In production the corpus band/shingle tables are precomputed and
+    persisted (they ARE the dedup index); here they derive from
+    ``corpus_df`` lazily so the operator stays self-contained."""
+    rows_per_band = num_hashes // bands
+
+    def bandtab(df: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(df, num_hashes, k, text_col, id_col)
+        args = []
+        for b in range(bands):
+            cols = ", ".join(
+                f"cast(mh_{b * rows_per_band + r} as string)"
+                for r in range(rows_per_band)
+            )
+            args.append(f"{b}, concat_ws('_', {cols})")
+        return sigs.select(
+            F.col(id_col).alias("doc"),
+            F.expr(
+                f"stack({bands}, {', '.join(args)}) as (band, band_key)"
+            ),
+        )
+
+    cand = (
+        bandtab(corpus_df)
+        .withColumnRenamed("doc", "doc_a")
+        .join(
+            bandtab(new_df).withColumnRenamed("doc", "doc_b"),
+            ["band", "band_key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_corpus = shingles(corpus_df, k, text_col, id_col).join(
+        cand.select(F.col("doc_a").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    sh_new = shingles(new_df, k, text_col, id_col).join(
+        cand.select(F.col("doc_b").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    sizes_a = sh_corpus.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_a"))
+    sizes_b = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        cand.join(
+            sh_corpus.select(F.col(id_col).alias("doc_a"), "shingle"),
+            "doc_a",
+        )
+        .join(
+            sh_new.select(F.col(id_col).alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes_a.select(F.col(id_col).alias("doc_a"), "n_a"), "doc_a"
+        )
+        .join(sizes_b.select(F.col(id_col).alias("doc_b"), "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ------------------------------------------------------------ simhash
 
 

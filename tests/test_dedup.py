@@ -180,3 +180,29 @@ def test_embedding_near_duplicates(spark):
         for r in dedup.embedding_near_duplicates(emb, 0.95).collect()
     }
     assert got == {(0, 1)}
+
+
+def test_minhash_incremental_batch_vs_corpus(docs_df):
+    """Incoming-batch dedup: candidates only cross the corpus×new
+    boundary; result equals the cross-pair slice of the full
+    near-dup set at the same parameters."""
+    corpus = docs_df.filter("doc_id % 2 = 0")  # 0, 2, 4
+    new = docs_df.filter("doc_id % 2 = 1")     # 1, 3, 5
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates_incremental(
+            new, corpus, threshold=0.5, num_hashes=16, bands=8
+        ).collect()
+    }
+    # doc 1 is an exact copy of corpus doc 0 → must be caught
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    # nothing links the unrelated docs
+    assert all(a % 2 == 0 and b % 2 == 1 for a, b in got)
+    full = {
+        tuple(sorted((r["doc_a"], r["doc_b"]))): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(
+            docs_df, threshold=0.5, num_hashes=16, bands=8
+        ).collect()
+    }
+    for (a, b), j in got.items():
+        assert full[tuple(sorted((a, b)))] == j
