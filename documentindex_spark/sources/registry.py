@@ -118,6 +118,49 @@ def dense_ids(
     )
 
 
+def load_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    text_col: str = "content",
+    **options,
+) -> DataFrame:
+    """Format-agnostic corpus reader: parquet | json (JSONL) | csv |
+    text — each lands on the engine's contract (a ``text_col`` plus
+    whatever identity columns the source carries, ``content_sha``
+    attached). ``text`` mode reads one document per file
+    (wholetext=True) and yields (path, content).
+
+    All formats go through the same DataFrameReader machinery, so
+    Catalyst pushdown/pruning and the 16m maxPartitionBytes split
+    tuning apply regardless of format."""
+    fmt = fmt.lower()
+    if fmt == "parquet":
+        df = spark.read.options(**options).parquet(path)
+    elif fmt in ("json", "jsonl"):
+        df = spark.read.options(**options).json(path)
+    elif fmt == "csv":
+        df = spark.read.options(header=True, **options).csv(path)
+    elif fmt == "text":
+        df = (
+            spark.read.option("wholetext", True)
+            .text(path)
+            .select(
+                F.input_file_name().alias("path"),
+                F.col("value").alias(text_col),
+            )
+        )
+    else:
+        raise ValueError(f"unsupported corpus format: {fmt}")
+    if text_col not in df.columns:
+        raise ValueError(
+            f"source at {path} has no '{text_col}' column: {df.columns}"
+        )
+    if "content_sha" not in df.columns:
+        df = df.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+    return df
+
+
 def with_doc_ids(df: DataFrame) -> DataFrame:
     """Assign the dense doc_id ordered by (repo, path, commit) — NOT
     monotonically_increasing_id, which depends on physical
