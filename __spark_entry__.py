@@ -1060,6 +1060,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor(F.length("text") / 4).cast("int").alias("tok_est"),
         )
 
+    # ---- structure-number natural sort (ranked — order IS the check)
+    def q_structure_sort(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        from documentindex_spark.functions.scalar import (
+            structure_sort_key,
+        )
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.lit("1."),
+                (F.col("doc_id") % 12).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 10).cast("string"),
+            ).alias("structure"),
+        )
+        w = Window.orderBy(
+            structure_sort_key(F.col("structure")), F.col("doc_id")
+        )
+        return docs.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("doc_id") % 7 == 0
+        )
+
     # ---- boolean-mode BM25 (conjunctive / minimum-should-match)
     def q_bm25_conjunctive(spark, sf_dir):
         from documentindex_spark.operators.bm25 import score_query_boolean
@@ -1141,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evidence_excerpts": q_evidence_excerpts,
         "simhash_signatures": q_simhash,
         "scalar_bank": q_scalar_bank,
+        "structure_natural_sort": q_structure_sort,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_min_should_match": q_bm25_msm,
         "events_multi_grain_rollup": q_events_rollup,
@@ -1416,6 +1441,24 @@ SELECT event_id, user_id,
        CAST(CAST(floor((csum - value) / 5000.0) AS BIGINT) AS VARCHAR)
            AS batch_id
 FROM o
+""",
+        "structure_natural_sort": """
+WITH s AS (
+    SELECT doc_id,
+           '1.' || (doc_id % 12) || '.' || (doc_id % 10) AS structure
+    FROM documents
+),
+r AS (
+    SELECT doc_id, structure,
+           row_number() OVER (
+               ORDER BY list_transform(
+                   string_split(structure, '.'),
+                   p -> lpad(regexp_replace(p, '[^0-9]', '', 'g'), 8, '0')
+               ), doc_id
+           ) AS rank
+    FROM s
+)
+SELECT doc_id, structure, rank FROM r WHERE doc_id % 7 = 0
 """,
         "scalar_bank": r"""
 SELECT doc_id,

@@ -289,6 +289,51 @@ class Engine:
 
     # ----------------------------------------------------- structure
 
+    def describe(self) -> dict:
+        """Index observability (the reference exposes index stats via
+        DocumentIndex metadata; ops teams need this to size caches and
+        spot skew): corpus stats, segment/bucket shape, blob bytes,
+        and the build manifest's per-stage rows/wall — one small
+        aggregate over the postings table + the manifest file."""
+        import json
+        import os
+
+        agg = self._postings.agg(
+            F.count(F.lit(1)).alias("n_segment_rows"),
+            F.countDistinct("term").alias("n_terms"),
+            F.countDistinct("bucket").alias("n_buckets"),
+            F.sum("n_postings").alias("n_postings"),
+            F.max("n_postings").alias("max_segment_postings"),
+            (
+                F.sum(F.length("doc_blob"))
+                + F.sum(F.length("impact_blob"))
+                + F.sum(F.length("tf_blob"))
+            ).alias("blob_bytes"),
+        ).head()
+        out = {
+            "n_docs": self.built.n_docs,
+            "avgdl": self.built.avgdl,
+            "n_files": self.built.n_files,
+            "band_size": self.built.band_size,
+            **{k: (int(v) if v is not None else None) if k != "avgdl" else v
+               for k, v in agg.asDict().items()},
+            "cache": {
+                "entries": len(self._result_cache),
+                "hits": self.cache_hits,
+                "misses": self.cache_misses,
+            },
+        }
+        man_path = os.path.join(self.built.out_dir, "_manifest.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                stages = json.load(f)
+            out["stages"] = {
+                s: {k: v.get(k) for k in ("status", "rows", "wall_ms")}
+                for s, v in stages.items()
+                if isinstance(v, dict)
+            }
+        return out
+
     def nodes(self) -> DataFrame:
         """Hierarchical TreeNode table for the corpus."""
         return build_nodes(self.docs, self.text_col, "lang")

@@ -89,6 +89,17 @@ def test_search_cached_lru_eviction(engine):
     engine._cache_capacity = 256
 
 
+def test_describe_index_stats(engine):
+    d = engine.describe()
+    assert d["n_docs"] == 200 and d["n_files"] == 200
+    assert d["n_terms"] > 0 and d["n_postings"] > 0
+    assert d["n_buckets"] <= 64
+    assert d["blob_bytes"] > 0
+    assert d["max_segment_postings"] <= 1_000_000
+    assert d["stages"]["postings"]["status"] == "complete"
+    assert {"entries", "hits", "misses"} <= set(d["cache"])
+
+
 def test_open_existing(spark, engine, repo_files_small):
     e2 = Engine.open(spark, engine.built.out_dir, repo_files_small)
     got = e2.search_serve("merge block", 5)
