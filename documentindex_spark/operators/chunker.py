@@ -43,6 +43,43 @@ _CODE_PATTERNS = [
     (re.compile(r"^##+\s*(.*)$"), 1),
 ]
 
+# Doc-TYPE-aware section patterns — the reference selects its header
+# bank by detected document type (detector.py:258-311
+# get_section_patterns: PART/ITEM/NOTE for 10-K, PROPOSAL for
+# DEF 14A, ...; markdown headers as the common fallback for every
+# type). Same design over this corpus's 12 types; group 1 is the
+# section title, second tuple item the level. Types with no
+# structural headers ([], e.g. json/prose) get the common markdown
+# fallback only.
+DOC_TYPE_SECTION_PATTERNS: dict[str, list[tuple[re.Pattern, int]]] = {
+    "python": [
+        (re.compile(r"^class\s+([A-Za-z_]\w*)"), 1),
+        (re.compile(r"^(?:async\s+)?def\s+([A-Za-z_]\w*)"), 2),
+    ],
+    "javascript": [
+        (re.compile(r"^(?:export\s+)?class\s+([A-Za-z_]\w*)"), 1),
+        (re.compile(
+            r"^(?:export\s+)?(?:default\s+)?function\s+([A-Za-z_]\w*)"
+        ), 2),
+    ],
+    "sql": [
+        (re.compile(
+            r"(?i)^create\s+(?:or\s+replace\s+)?(?:table|view|index)\s+([\w.]+)"
+        ), 1),
+    ],
+    "config": [(re.compile(r"^\[([\w.]+)\]\s*$"), 1)],
+    "yaml": [(re.compile(r"^([A-Za-z_][\w-]*):\s*$"), 1)],
+    "shell": [
+        (re.compile(r"^(?:function\s+)?([A-Za-z_]\w*)\s*\(\)\s*\{?\s*$"), 1)
+    ],
+    "html": [(re.compile(r"(?i)<h[1-6][^>]*>([^<]*)"), 1)],
+    "log": [(re.compile(r"^(\d{4}-\d{2}-\d{2})[T ]"), 1)],
+    "rst": [(re.compile(r"^\.\. ([\w-]+)::"), 1)],
+    "markdown": [],
+    "json": [],
+    "prose": [],
+}
+
 CHUNKS_SCHEMA = (
     "doc_id long, chunk_index int, start_char long, end_char long, "
     "section_title string, section_level int, text string"
@@ -54,19 +91,46 @@ NODES_SCHEMA = (
 )
 
 
-def _find_sections(content: str, lang: str) -> list[tuple[int, int, str, int]]:
+def _find_sections(
+    content: str, lang: str, doc_type: str | None = None
+) -> list[tuple[int, int, str, int]]:
     """[(start_char, end_char, title, level)] covering the document.
 
     A preamble section (level 0, title '<preamble>') covers text
     before the first boundary; sections end where the next boundary
     of ANY level starts (leaf spans — parent spans are rebuilt in the
     node pass).
+
+    ``doc_type``: when given, the type's pattern bank
+    (DOC_TYPE_SECTION_PATTERNS) is tried first with the markdown
+    header as the common fallback — the reference's
+    get_section_patterns selection; when None, the legacy per-lang
+    behavior applies unchanged.
     """
+    type_patterns = (
+        DOC_TYPE_SECTION_PATTERNS.get(doc_type)
+        if doc_type is not None
+        else None
+    )
     bounds: list[tuple[int, str, int]] = []
     pos = 0
     for line in content.splitlines(keepends=True):
         stripped = line.rstrip("\n")
-        if lang == "md":
+        if type_patterns is not None:
+            hit = False
+            for pat, level in type_patterns:
+                m = pat.match(stripped)
+                if m:
+                    bounds.append((pos, m.group(1).strip(), level))
+                    hit = True
+                    break
+            if not hit:  # common fallback (reference common_patterns)
+                m = _MD_HEADER.match(stripped)
+                if m:
+                    bounds.append(
+                        (pos, m.group(2).strip(), len(m.group(1)))
+                    )
+        elif lang == "md":
             m = _MD_HEADER.match(stripped)
             if m:
                 bounds.append((pos, m.group(2).strip(), len(m.group(1))))
@@ -113,10 +177,14 @@ def _chunk_section(
     return out
 
 
-def _chunk_rows(doc_id: int, content: str, lang: str) -> list[dict]:
+def _chunk_rows(
+    doc_id: int, content: str, lang: str, doc_type: str | None = None
+) -> list[dict]:
     rows = []
     idx = 0
-    for s_start, s_end, title, level in _find_sections(content, lang):
+    for s_start, s_end, title, level in _find_sections(
+        content, lang, doc_type
+    ):
         for c_start, c_end in _chunk_section(content, s_start, s_end):
             rows.append(
                 {
@@ -133,12 +201,14 @@ def _chunk_rows(doc_id: int, content: str, lang: str) -> list[dict]:
     return rows
 
 
-def _node_rows(doc_id: int, content: str, lang: str) -> list[dict]:
+def _node_rows(
+    doc_id: int, content: str, lang: str, doc_type: str | None = None
+) -> list[dict]:
     """Stack-based hierarchy fold (reference indexer.py:320-358):
     sections sorted by position; each node's parent is the nearest
     preceding section with a smaller level. node_id is '0001'-style
     per document (reference models.py:138-240 id scheme)."""
-    sections = _find_sections(content, lang)
+    sections = _find_sections(content, lang, doc_type)
     chunk_of: list[int] = []
     ci = 0
     for s_start, s_end, _, _ in sections:
@@ -169,14 +239,25 @@ def _node_rows(doc_id: int, content: str, lang: str) -> list[dict]:
     return rows
 
 
-def _make_mapper(row_fn, columns):
+def _make_mapper(row_fn, columns, with_doc_type: bool = False):
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict] = []
-            for doc_id, content, lang in zip(
-                pdf["doc_id"], pdf["content"], pdf["lang"]
-            ):
-                out.extend(row_fn(int(doc_id), content or "", lang or ""))
+            if with_doc_type:
+                for doc_id, content, lang, dt in zip(
+                    pdf["doc_id"], pdf["content"], pdf["lang"],
+                    pdf["doc_type"],
+                ):
+                    out.extend(
+                        row_fn(int(doc_id), content or "", lang or "", dt)
+                    )
+            else:
+                for doc_id, content, lang in zip(
+                    pdf["doc_id"], pdf["content"], pdf["lang"]
+                ):
+                    out.extend(
+                        row_fn(int(doc_id), content or "", lang or "")
+                    )
             yield pd.DataFrame(out, columns=columns)
 
     return mapper
@@ -193,26 +274,44 @@ _NODE_COLS = [
 
 
 def chunk_documents(
-    files: DataFrame, text_col: str = "content", lang_col: str = "lang"
+    files: DataFrame,
+    text_col: str = "content",
+    lang_col: str = "lang",
+    doc_type_col: str | None = None,
 ) -> DataFrame:
-    """files(doc_id, content, lang, ...) → chunks table."""
-    src = files.selectExpr(
-        "doc_id", f"{text_col} as content", f"{lang_col} as lang"
-    )
+    """files(doc_id, content, lang, ...) → chunks table.
+    ``doc_type_col``: select section patterns by detected doc type
+    (detect_doc_type output) instead of the lang heuristic."""
+    cols = ["doc_id", f"{text_col} as content", f"{lang_col} as lang"]
+    if doc_type_col:
+        cols.append(f"{doc_type_col} as doc_type")
+    src = files.selectExpr(*cols)
     return src.mapInPandas(
-        _make_mapper(_chunk_rows, _CHUNK_COLS), schema=CHUNKS_SCHEMA
+        _make_mapper(
+            _chunk_rows, _CHUNK_COLS, with_doc_type=bool(doc_type_col)
+        ),
+        schema=CHUNKS_SCHEMA,
     )
 
 
 def build_nodes(
-    files: DataFrame, text_col: str = "content", lang_col: str = "lang"
+    files: DataFrame,
+    text_col: str = "content",
+    lang_col: str = "lang",
+    doc_type_col: str | None = None,
 ) -> DataFrame:
-    """files → flat hierarchical node table (TreeNode equivalent)."""
-    src = files.selectExpr(
-        "doc_id", f"{text_col} as content", f"{lang_col} as lang"
-    )
+    """files → flat hierarchical node table (TreeNode equivalent).
+    ``doc_type_col``: doc-type-aware section patterns (reference
+    get_section_patterns selection)."""
+    cols = ["doc_id", f"{text_col} as content", f"{lang_col} as lang"]
+    if doc_type_col:
+        cols.append(f"{doc_type_col} as doc_type")
+    src = files.selectExpr(*cols)
     return src.mapInPandas(
-        _make_mapper(_node_rows, _NODE_COLS), schema=NODES_SCHEMA
+        _make_mapper(
+            _node_rows, _NODE_COLS, with_doc_type=bool(doc_type_col)
+        ),
+        schema=NODES_SCHEMA,
     )
 
 

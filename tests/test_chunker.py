@@ -99,3 +99,36 @@ def test_long_section_splits_with_overlap(spark):
     for a, b in zip(rows, rows[1:]):
         assert b["start_char"] < a["end_char"]  # overlap
     assert text[rows[0]["start_char"] : rows[0]["end_char"]] == rows[0]["text"]
+
+
+def test_doc_type_aware_section_patterns(spark):
+    """Doc-type pattern selection (reference get_section_patterns,
+    detector.py:258-311): a config file sections on [headers], SQL on
+    CREATE statements, and the markdown common fallback fires inside
+    any type; legacy lang behavior is untouched when no doc_type_col
+    is given."""
+    from documentindex_spark.operators.chunker import build_nodes
+
+    cfg = "[core]\nname = x\n[log.sink]\nlevel = info\n"
+    sql = "CREATE TABLE t1 (a INT);\nSELECT 1;\nCREATE VIEW v2 AS SELECT 1;\n"
+    mixed = "# Overview\nprose here\n[section1]\nk = v\n"
+    df = spark.createDataFrame(
+        [
+            (0, cfg, "txt", "config"),
+            (1, sql, "txt", "sql"),
+            (2, mixed, "txt", "config"),
+        ],
+        "doc_id long, content string, lang string, doc_type string",
+    )
+    nodes = build_nodes(df, doc_type_col="doc_type").collect()
+    titles = {}
+    for r in nodes:
+        titles.setdefault(r["doc_id"], []).append(r["title"])
+    assert titles[0] == ["core", "log.sink"]
+    assert titles[1] == ["t1", "v2"]  # CREATE on line 1 → no preamble
+    # markdown common fallback + the type's own pattern in one doc
+    assert titles[2] == ["Overview", "section1"]
+    # legacy path (no doc_type_col): config text has no code headers
+    legacy = build_nodes(df).collect()
+    legacy_titles = [r["title"] for r in legacy if r["doc_id"] == 0]
+    assert legacy_titles == ["<preamble>"]
