@@ -334,8 +334,25 @@ class Engine:
             }
         return out
 
-    def nodes(self) -> DataFrame:
-        """Hierarchical TreeNode table for the corpus."""
+    def nodes(self, detect_types: bool = False) -> DataFrame:
+        """Hierarchical TreeNode table for the corpus.
+
+        ``detect_types=True``: run the doc-type detector first and
+        section with the type-specific pattern bank (the reference
+        detects the type, then chunks with that type's patterns —
+        indexer.py pipeline order)."""
+        if detect_types:
+            from .functions.scalar import detect_doc_type
+
+            typed = self.docs.join(
+                detect_doc_type(self.docs, self.text_col).select(
+                    "doc_id", "doc_type"
+                ),
+                "doc_id",
+            )
+            return build_nodes(
+                typed, self.text_col, "lang", doc_type_col="doc_type"
+            )
         return build_nodes(self.docs, self.text_col, "lang")
 
     def cross_references(self) -> DataFrame:
