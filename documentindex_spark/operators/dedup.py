@@ -163,6 +163,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     sigs: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs: docs sharing ≥1 LSH band.
     Band key = concat of the band's rows; bucket join per band —
@@ -172,7 +173,11 @@ def minhash_lsh_candidates(
     signature table — the earlier 4-way union recomputed the whole
     tokenize→shingle→minhash pipeline once per band). Pass a
     precomputed (ideally persisted) ``sigs`` at scale so the
-    self-join's two sides share one materialization."""
+    self-join's two sides share one materialization.
+
+    ``max_bucket_size``: drop band buckets larger than this from
+    candidate generation (the B² skew guard for duplicate-heavy
+    corpora — see inline comment). None = unchanged semantics."""
     rows_per_band = num_hashes // bands
     if sigs is None:
         sigs = minhash_signatures(df, num_hashes, k, text_col, id_col)
@@ -189,6 +194,23 @@ def minhash_lsh_candidates(
             f"stack({bands}, {', '.join(stack_args)}) as (band, band_key)"
         ),
     )
+    if max_bucket_size is not None:
+        # Skew guard for duplicate-heavy corpora: a bucket of B docs
+        # yields B² candidate pairs — one bucket of 10^6 IDENTICAL
+        # documents is 10^12 pairs. Buckets over the cap are dropped
+        # from CANDIDATE GENERATION (run exact_duplicates first: the
+        # byte-identical mass that creates mega-buckets is exactly
+        # what exact dedup removes at one-shuffle cost; near-dups of
+        # a capped bucket's docs still surface through their OTHER
+        # bands when those are below the cap).
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "band_key")
+        bandtab = (
+            bandtab.withColumn("_bsize", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsize") <= max_bucket_size)
+            .drop("_bsize")
+        )
     a = bandtab.select(F.col("doc").alias("doc_a"), "band", "band_key")
     b_ = bandtab.select(F.col("doc").alias("doc_b"), "band", "band_key")
     return (

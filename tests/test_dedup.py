@@ -206,3 +206,32 @@ def test_minhash_incremental_batch_vs_corpus(docs_df):
     }
     for (a, b), j in got.items():
         assert full[tuple(sorted((a, b)))] == j
+
+
+def test_lsh_bucket_size_guard(spark):
+    """max_bucket_size drops mega-buckets (the B² pair explosion from
+    duplicate-heavy corpora) from candidate generation, leaving other
+    buckets untouched."""
+    rows = [(i, BASE) for i in range(5)] + [
+        (10, "entirely different words one"),
+        (11, "entirely different words one"),  # exact pair: all bands
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(
+            df, num_hashes=16, bands=8
+        ).collect()
+    }
+    # the 5 identical docs pair up fully without the cap
+    assert {(a, b) for a in range(5) for b in range(a + 1, 5)} <= uncapped
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(
+            df, num_hashes=16, bands=8, max_bucket_size=4
+        ).collect()
+    }
+    # every bucket holding the 5 clones exceeds the cap → dropped;
+    # the pair from 2-doc buckets survives
+    assert not any(a < 5 and b < 5 for a, b in capped)
+    assert (10, 11) in capped and (10, 11) in uncapped
