@@ -576,18 +576,26 @@ _EXCERPTS_ORACLE = (
 , scored AS (
     SELECT doc_id, round(sum(impact), 6) AS score
     FROM imp WHERE term IN ('merge', 'sort') GROUP BY doc_id
+),
+hit_lists AS (
+    SELECT s.doc_id, s.score,
+           list_transform(
+             list_slice(
+               list_sort(list_distinct(list_filter(
+                 list_transform(['merge', 'sort'],
+                                t -> strpos(lower(d.text), t)),
+                 p -> p > 0))),
+               1, 3),
+             p -> substr(d.text, p, 60)) AS excerpts
+    FROM scored s JOIN documents d USING (doc_id)
+    WHERE s.score >= 0.7
 )
-SELECT s.doc_id, s.score,
-       list_transform(
-         list_slice(
-           list_sort(list_distinct(list_filter(
-             list_transform(['merge', 'sort'],
-                            t -> strpos(lower(d.text), t)),
-             p -> p > 0))),
-           1, 3),
-         p -> substr(d.text, p, 60)) AS excerpts
-FROM scored s JOIN documents d USING (doc_id)
-WHERE s.score >= 0.7
+-- parallel unnests align in DuckDB; range() gives the 0-based index
+-- matching Spark posexplode
+SELECT doc_id, score,
+       unnest(range(len(excerpts))) AS excerpt_idx,
+       unnest(excerpts) AS excerpt
+FROM hit_lists
 """
 )
 
@@ -786,7 +794,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- dedup suite
     def q_dedup_exact(spark, sf_dir):
-        return dedup.exact_duplicates(_docs(spark, sf_dir))
+        # one scalar row per member doc (driver can't hash array cells)
+        return dedup.exact_duplicates(_docs(spark, sf_dir)).select(
+            "content_hash", "n_docs", F.explode("doc_ids").alias("doc_id")
+        )
 
     def q_ngram_jaccard(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.25)
@@ -1005,12 +1016,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("score") >= 0.7)
             .join(docs.select("doc_id", "text"), "doc_id")
         )
+        # Scalar rows, not an array column: the driver's pandas
+        # canonicalizer lexsorts every column and cannot hash list
+        # cells (round-2 red row). posexplode keeps the per-hit
+        # ordering observable via excerpt_idx.
         return hits.select(
             "doc_id",
             "score",
-            excerpts_col(
-                "text", ["merge", "sort"], width=60, max_excerpts=3
-            ).alias("excerpts"),
+            F.posexplode(
+                excerpts_col("text", ["merge", "sort"], width=60,
+                             max_excerpts=3)
+            ).alias("excerpt_idx", "excerpt"),
         )
 
     # ---- metadata extraction pipeline (reference extract_sync)
@@ -1246,10 +1262,13 @@ SELECT doc_id, score,
 FROM pos
 """,
         "dedup_exact": """
-WITH h AS (SELECT doc_id, sha256(text) AS content_hash FROM documents)
-SELECT content_hash, count(*)::BIGINT AS n_docs,
-       list_sort(list(doc_id)) AS doc_ids
-FROM h GROUP BY 1 HAVING count(*) > 1
+WITH h AS (SELECT doc_id, sha256(text) AS content_hash FROM documents),
+g AS (
+    SELECT content_hash, count(*)::BIGINT AS n_docs,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM h GROUP BY 1 HAVING count(*) > 1
+)
+SELECT content_hash, n_docs, unnest(doc_ids) AS doc_id FROM g
 """,
         "ngram_jaccard_pairs": _ORACLE_SHINGLES
         + """

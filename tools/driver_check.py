@@ -28,7 +28,35 @@ TABLES = [
 ]
 
 
+class NonScalarColumnError(TypeError):
+    """A queries()/oracle result column holds list/dict/array cells —
+    the REAL driver's pandas lexsort canonicalizer dies on these
+    (`unhashable type: 'list'`), so the replica must reject them too
+    instead of silently coercing (round-2 red row `evidence_excerpts`
+    shipped through exactly that divergence)."""
+
+
+def _assert_scalar(df: pd.DataFrame) -> None:
+    import numpy as np
+
+    for c in df.columns:
+        if df[c].dtype != object:
+            continue
+        bad = df[c].map(
+            lambda v: isinstance(v, (list, tuple, dict, set, np.ndarray))
+        )
+        if bad.any():
+            example = df[c][bad].iloc[0]
+            raise NonScalarColumnError(
+                f"column {c!r} has non-scalar cells "
+                f"(e.g. {type(example).__name__}: {example!r}); the real "
+                f"driver canonicalizer cannot sort/hash these — return "
+                f"scalar rows (posexplode arrays, json-encode structs)"
+            )
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    _assert_scalar(df)
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
@@ -38,9 +66,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[ns]")
         elif df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
-            ).astype(str)
+            df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -67,6 +93,7 @@ def main() -> int:
         t0 = time.time()
         got = fn(spark, sf_dir).toPandas()
         if name not in oracles:
+            _assert_scalar(got)
             print(f"  {name}: rows-only check, {len(got)} rows, "
                   f"{time.time()-t0:.1f}s")
             continue
