@@ -114,6 +114,22 @@ class Engine:
         self._postings.count()
         return self
 
+    def close(self) -> None:
+        """Release executor memory held on this engine's behalf: the
+        persisted postings (if ``persist()`` was called), the
+        range-partitioned intermediates pinned by dense-id assignment
+        (sources.registry.release_id_caches), and the result cache.
+        Call when DONE with the engine: the index on disk is complete
+        and can be re-``open``-ed, but live queries against an
+        UNcached id-bearing docs frame must not continue past close()
+        (a fresh action would re-plan the id exchange — see
+        release_id_caches)."""
+        from .sources.registry import release_id_caches
+
+        self._postings.unpersist()
+        release_id_caches()
+        self._result_cache.clear()
+
     # ---------------------------------------------------------- query
 
     def search(self, query: str, k: int = TOPK_DEFAULT) -> DataFrame:

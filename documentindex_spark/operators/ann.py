@@ -43,7 +43,16 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k: (vec_id, cos, rank), ties (cos DESC, id ASC)."""
+    """Exact cosine top-k: (vec_id, cos, rank), ties (cos DESC, id ASC).
+
+    Scoring stays on the JVM lambda (``cosine_sim_col``) by MEASURED
+    decision, not assumption: an Arrow-batched pandas-UDF matvec was
+    A/B'd interleaved (tools/bench_cosine.py, BENCH/BASELINE.md §7.5)
+    and LOST for single-dot-per-row shapes — 0.94s vs 2.59s at
+    400k×128 and 0.76s vs 1.10s at 100k×768 — because the per-row
+    Arrow transfer of the vector column outweighs the interpreted
+    lambda. The matmul form wins only when each transferred row feeds
+    MANY dot products (see ``ivf_assign``: C=64 → 8-14×)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = emb.select(
         id_col, F.round(cosine_sim_col(F.col(vec_col), q), 6).alias("cos")
@@ -121,25 +130,39 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, embedding, centroid_id): nearest centroid by cosine
-    (rounded to 6dp; ties → min centroid_id — deterministic). The
-    centroid table broadcasts; assignment is a map-side |emb|×C
-    arithmetic pass + a per-vector window (C rows per key, parallel).
-    Persist the result — it IS the IVF index."""
-    from pyspark.sql.window import Window
+    (rounded to 6dp; ties → min centroid_id — deterministic).
 
-    ccos = F.round(
-        cosine_sim_col(F.col(vec_col), F.col("centroid")), 6
-    )
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        id_col, vec_col, "centroid_id", ccos.alias("ccos")
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("ccos"), F.asc("centroid_id")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    Centroids collect to the driver (C is broadcast-sized by
+    definition) and ride the UDF closure; assignment is ONE
+    (batch × dim) @ (dim × C) numpy matmul per Arrow batch. This
+    replaces the round-2 crossJoin + interpreted-lambda + per-vector
+    window plan, which materialized |emb|×C rows and paid the lambda
+    interpreter per element — at 10^9 vectors the assign pass IS the
+    index build. Rounding is HALF_UP at 6dp (trunc(x·1e6 ± 0.5)) to
+    mirror F.round/DuckDB round, and ids are scanned ascending so
+    numpy's first-max argmax reproduces the (cos DESC, centroid_id
+    ASC) tie-break exactly. Persist the result — it IS the IVF
+    index."""
+    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    ids = np.asarray([int(r["centroid_id"]) for r in rows], dtype=np.int64)
+    cmat = np.vstack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in rows]
+    ).T  # dim × C
+    cnorm = np.linalg.norm(cmat, axis=0)
+
+    @F.pandas_udf(T.LongType())
+    def best_centroid(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        sims = (m @ cmat) / (
+            np.linalg.norm(m, axis=1)[:, None] * cnorm[None, :]
+        )
+        sims6 = np.trunc(sims * 1e6 + np.copysign(0.5, sims)) / 1e6
+        return pd.Series(ids[np.argmax(sims6, axis=1)])
+
+    return emb.select(
+        id_col, vec_col, best_centroid(F.col(vec_col)).alias("centroid_id")
     )
 
 
@@ -154,7 +177,11 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: rank centroids by cosine to the query, scan
     ONLY the top ``n_probe`` inverted lists, score exactly inside —
-    candidates shrink ~C/n_probe-fold. (vec_id, cos, rank)."""
+    candidates shrink ~C/n_probe-fold. (vec_id, cos, rank).
+
+    Candidate rescoring keeps the JVM-lambda cosine — single dot per
+    row; the pandas matvec measured SLOWER for that shape (see
+    brute_force_topk docstring / BENCH/BASELINE.md §7.5)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probes = [
         r["centroid_id"]

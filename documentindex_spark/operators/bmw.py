@@ -289,8 +289,16 @@ def bmw_topk(
     if isinstance(index, str):
         seg_rows = load_query_postings(spark, index, terms_by_query)
     else:
+        # Same predicates as the path branch: a DataFrame index that
+        # is NOT persisted (cold Engine.open) still resolves to a
+        # parquet scan, and without the bucket predicate the partition
+        # filter is lost — every bucket's row groups get read. Bucket
+        # is derivable from the terms, so push both.
         all_terms = sorted({t for ts in terms_by_query.values() for t in ts})
-        seg_rows = index.filter(F.col("term").isin(all_terms))
+        buckets = sorted({term_bucket(t) for t in all_terms})
+        seg_rows = index.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+        )
     joined = seg_rows.join(F.broadcast(qdf), "term")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -446,11 +446,21 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming ≤ max_hamming). Candidate generation
     buckets on 4 × 16-bit key segments (two signatures within Hamming
     ≤ 3 of 64 bits must agree on ≥1 of 4 segments — pigeonhole), then
-    verifies exact Hamming via bit_count(xor)."""
+    verifies exact Hamming via bit_count(xor).
+
+    ``max_bucket_size``: same B² skew guard as
+    ``minhash_lsh_candidates`` — identical texts share ALL four
+    segments, so a duplicate-heavy corpus mega-clusters one segment
+    bucket into B² candidate pairs. Over-cap buckets are dropped from
+    candidate generation (run ``exact_duplicates`` first — the
+    byte-identical mass IS what creates mega-buckets); near-dups of a
+    capped bucket's docs still surface via their other segments when
+    those stay under the cap."""
     sigs = simhash_signatures(df, text_col, id_col)
     # stack() unpivot: one pass over sigs for all 4 segments (a
     # per-segment union would recompute the signature agg 4×)
@@ -462,6 +472,15 @@ def simhash_near_duplicates(
         F.col("doc_id").alias("doc"),
         F.expr(f"stack(4, {seg_args}) as (seg, seg_key)"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("seg", "seg_key")
+        seg = (
+            seg.withColumn("_bsize", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsize") <= max_bucket_size)
+            .drop("_bsize")
+        )
     a = seg.select(F.col("doc").alias("doc_a"), "seg", "seg_key")
     b = seg.select(F.col("doc").alias("doc_b"), "seg", "seg_key")
     cand = (
@@ -491,7 +510,13 @@ def simhash_near_duplicates(
 
 def cosine_sim_col(a: Column, b: Column) -> Column:
     """Float64 cosine similarity of two array<float/double> columns —
-    built-in zip_with/aggregate, JVM-side."""
+    built-in zip_with/aggregate. SQL-expressible (DuckDB-oracle twin)
+    AND the measured-fastest form for single-dot-per-row scoring:
+    higher-order lambdas are interpreted per element, but the Arrow
+    transfer a pandas UDF pays per vector costs more (see the module
+    note below + BENCH/BASELINE.md §7.5). Shapes where one row feeds
+    MANY dots (vector × C centroids) belong in a numpy-matmul pandas
+    UDF instead — ann.ivf_assign."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -510,6 +535,18 @@ def cosine_sim_col(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+# NOTE (measured decision, round 3): an Arrow-batched pandas-UDF
+# rowwise cosine (numpy einsum per batch) was built and A/B'd against
+# cosine_sim_col interleaved per the CLAUDE.md noisy-box protocol —
+# and LOST for every single-dot-per-row shape: 1.7s vs 20.8s medians
+# on 100k pairs × 768 dims (two vector columns per row through Arrow)
+# and 0.76s vs 1.10s query-vs-column at the same dim. The per-row
+# vector transfer outweighs the interpreted-lambda tax. The matmul
+# form is kept ONLY where one transferred row feeds many dot products
+# (ann.ivf_assign: C dots/row → 8-14× faster). Full numbers:
+# tools/bench_cosine.py, BENCH/BASELINE.md §7.5.
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float,
@@ -518,7 +555,9 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """(doc_a, doc_b, cos ≥ threshold) via brute self-join — the
     small-corpus ground truth (O(n²); use ann.lsh_buckets to
-    pre-bucket at scale)."""
+    pre-bucket at scale). Pair scoring is the JVM-lambda cosine by
+    measured A/B (see module note above — the pandas rowwise form is
+    12× slower at this shape)."""
     a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
     return (

@@ -57,6 +57,32 @@ def load_repo_files(
     return df
 
 
+# range-partitioned intermediates pinned by dense_ids, released via
+# release_id_caches() once results are safely materialized
+_PINNED_RANGES: list[DataFrame] = []
+
+
+def release_id_caches() -> int:
+    """Unpersist every range-partitioned intermediate pinned by
+    ``dense_ids`` (round-2 leak: one pinned copy of the key columns
+    per id assignment, held for the session's lifetime). Returns the
+    number released.
+
+    SAFE only once every id-bearing result has been materialized to
+    its own storage (``.cache()`` + action, or written out):
+    partition-EVICTION recompute reuses the materialized plan's RDD
+    graph, so boundaries stay stable — but a fresh ACTION on an
+    unmaterialized result re-plans the range exchange with a new
+    sampling seed and would assign DIFFERENT ids. ``Engine.close()``
+    calls this at the right time; ad-hoc users call it explicitly."""
+    n = 0
+    for df in _PINNED_RANGES:
+        df.unpersist()
+        n += 1
+    _PINNED_RANGES.clear()
+    return n
+
+
 def dense_ids(
     df: DataFrame,
     order_cols: list[str],
@@ -89,10 +115,14 @@ def dense_ids(
         df.repartitionByRange(n, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         # pin partition boundaries: the count pass and the id pass
-        # must see the SAME partitioning (recompute after eviction is
-        # safe — same RDD lineage ⇒ same sampling seed).
+        # must see the SAME partitioning. Partition-level eviction
+        # recompute is safe (same RDD graph ⇒ same boundaries), but a
+        # fresh action RE-PLANS the exchange with a new sampling seed
+        # — measured to reassign ids — so this persist is
+        # load-bearing until release_id_caches().
         .persist()
     )
+    _PINNED_RANGES.append(ranged)
     counts = {
         r["_pid"]: r["cnt"]
         for r in ranged.groupBy("_pid")

@@ -235,3 +235,28 @@ def test_lsh_bucket_size_guard(spark):
     # the pair from 2-doc buckets survives
     assert not any(a < 5 and b < 5 for a, b in capped)
     assert (10, 11) in capped and (10, 11) in uncapped
+
+
+def test_simhash_bucket_size_guard(spark):
+    """Same B² guard for simhash: N identical docs share all four
+    16-bit segments → every segment bucket holding them exceeds the
+    cap and is dropped; a small distinct pair's buckets survive."""
+    rows = [(i, BASE) for i in range(6)] + [
+        (10, "entirely different words one two three"),
+        (11, "entirely different words one two three"),  # exact pair
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_duplicates(df, max_hamming=3).collect()
+    }
+    assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= uncapped
+    assert (10, 11) in uncapped
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_duplicates(
+            df, max_hamming=3, max_bucket_size=4
+        ).collect()
+    }
+    assert not any(a < 6 and b < 6 for a, b in capped)
+    assert (10, 11) in capped

@@ -75,3 +75,26 @@ def test_chunk_ids_plan_has_no_single_partition(spark, repo_files_small):
     rows = chunks.select("chunk_id").collect()
     ids = sorted(r["chunk_id"] for r in rows)
     assert ids == list(range(len(rows)))
+
+
+def test_release_id_caches_frees_pinned_ranges(spark):
+    """Round-2 leak: every dense_ids call pinned a range-partitioned
+    copy for the session's lifetime. The persist is load-bearing
+    while results are unmaterialized (a fresh action re-plans the
+    exchange with a new sampling seed), so release is explicit:
+    release_id_caches() after the result is safely materialized."""
+    from documentindex_spark.sources.registry import release_id_caches
+
+    release_id_caches()  # start clean
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    files = generate_repo_files(spark, 80)
+    out = with_doc_ids(files).cache()
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == list(range(80))
+    assert jsc.getPersistentRDDs().size() > before + 1  # ranged + cache
+    assert release_id_caches() >= 1
+    assert jsc.getPersistentRDDs().size() == before + 1  # only the cache
+    # ids still correct served from the materialized cache
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(80))
+    out.unpersist()
