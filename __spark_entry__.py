@@ -600,6 +600,26 @@ FROM hit_lists
 )
 
 
+_PROXIMITY_ORACLE = """
+WITH rawtoks AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS tr
+    FROM documents
+),
+ptoks AS (
+    SELECT doc_id, r.i - 1 AS pos, tr[r.i] AS term
+    FROM rawtoks, unnest(range(1, len(tr) + 1)) AS r(i)
+    WHERE tr[r.i] <> ''
+),
+ma AS (SELECT doc_id, pos AS pa FROM ptoks WHERE term = 'merge'),
+mb AS (SELECT doc_id, pos AS pb FROM ptoks WHERE term = 'sort')
+SELECT ma.doc_id, count(*)::BIGINT AS n_pairs,
+       min(abs(pa - pb))::BIGINT AS min_dist
+FROM ma JOIN mb USING (doc_id)
+WHERE abs(pa - pb) <= 3 AND pa <> pb
+GROUP BY 1
+"""
+
+
 _MONTHS = [
     "January", "February", "March", "April", "May", "June", "July",
     "August", "September", "October", "November", "December",
@@ -959,6 +979,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), "merge", "sort", window=3
         )
 
+    def q_proximity_indexed(spark, sf_dir):
+        # same semantics served from the positional index — no
+        # per-query corpus tokenize (round-2 verdict weak spot #3)
+        from documentindex_spark.plans.positions import (
+            build_positions_table,
+            proximity_indexed,
+        )
+
+        docs = _docs(spark, sf_dir)
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        pos_path = build_positions_table(
+            spark, docs, f"/tmp/dix_positions_{tag}", text_col="text"
+        )
+        return proximity_indexed(spark, pos_path, "merge", "sort", window=3)
+
     # ---- typed JSON extraction (from_json call site)
     def q_json_metadata(spark, sf_dir):
         from documentindex_spark.operators.metadata import (
@@ -1177,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_merge_sort": q_phrase_topk,
         "phrase_topk_indexed": q_phrase_indexed,
         "proximity_merge_sort": q_proximity,
+        "proximity_indexed": q_proximity_indexed,
         "json_metadata": q_json_metadata,
         "evidence_excerpts": q_evidence_excerpts,
         "simhash_signatures": q_simhash,
@@ -1408,24 +1444,10 @@ FROM n
         "metadata_extracted": _metadata_oracle(),
         "phrase_topk_merge_sort": _PHRASE_MERGE_SORT_ORACLE,
         "phrase_topk_indexed": _PHRASE_MERGE_SORT_ORACLE,
-        "proximity_merge_sort": """
-WITH rawtoks AS (
-    SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS tr
-    FROM documents
-),
-ptoks AS (
-    SELECT doc_id, r.i - 1 AS pos, tr[r.i] AS term
-    FROM rawtoks, unnest(range(1, len(tr) + 1)) AS r(i)
-    WHERE tr[r.i] <> ''
-),
-ma AS (SELECT doc_id, pos AS pa FROM ptoks WHERE term = 'merge'),
-mb AS (SELECT doc_id, pos AS pb FROM ptoks WHERE term = 'sort')
-SELECT ma.doc_id, count(*)::BIGINT AS n_pairs,
-       min(abs(pa - pb))::BIGINT AS min_dist
-FROM ma JOIN mb USING (doc_id)
-WHERE abs(pa - pb) <= 3 AND pa <> pb
-GROUP BY 1
-""",
+        "proximity_merge_sort": _PROXIMITY_ORACLE,
+        # the indexed variant must produce byte-identical rows from
+        # the positions table — same oracle
+        "proximity_indexed": _PROXIMITY_ORACLE,
         "json_metadata": """
 WITH j AS (
     SELECT doc_id,

@@ -205,10 +205,19 @@ class Engine:
         """Provenance over N topics as ONE batched job (reference
         runs topics with bounded concurrency, provenance.py:255-291)
         → (query_id, doc_id, score, snippet); query_id indexes
-        ``topics``."""
+        ``topics``.
+
+        Threshold-first plan (round 3): scores come from
+        ``score_threshold_all`` — hash agg + threshold filter, no
+        k=n_docs heap, no global merge window (the old shape
+        degenerated to a corpus-sized per-band heap at 10^10 docs).
+        Scores are bit-identical (frozen ascending-term sum)."""
+        from .operators.bmw import score_threshold_all
+
         qmap = dict(enumerate(topics))
-        scored = bmw_topk(
-            self.spark, self._postings, qmap, k=self.built.n_docs
+        th = threshold if threshold is not None else 0.0
+        scored = score_threshold_all(
+            self.spark, self._postings, qmap, threshold=th
         ).select("query_id", "doc_id", "score")
         return find_all_evidence_multi(
             scored,
@@ -226,9 +235,12 @@ class Engine:
         excerpt_threshold: float | None = None,
     ) -> DataFrame:
         """Find ALL evidence (no limit) with snippets — the
-        provenance mode."""
-        scored = bmw_topk(
-            self.spark, self._postings, {0: topic}, k=self.built.n_docs
+        provenance mode. Threshold-first scoring (no top-k heap) —
+        see extract_all_topics."""
+        from .operators.bmw import score_threshold_all
+
+        scored = score_threshold_all(
+            self.spark, self._postings, {0: topic}, threshold=threshold
         ).select("doc_id", "score")
         return find_all_evidence(
             scored,

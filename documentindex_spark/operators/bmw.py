@@ -355,6 +355,95 @@ def _banded(joined: DataFrame, k: int, band_size: int) -> DataFrame:
     )
 
 
+def score_threshold_all(
+    spark: SparkSession,
+    index: str | DataFrame,
+    queries: dict[int, str],
+    threshold: float,
+) -> DataFrame:
+    """Provenance-mode scorer: every (query_id, doc_id, score) with
+    score ≥ threshold — NO top-k heap, NO global merge window.
+
+    "Find ALL evidence" via ``bmw_topk(k=n_docs)`` is correct but the
+    per-band heap degenerates to the whole corpus at 10^10 docs
+    (round-2 verdict watch item). The threshold-first plan instead:
+    pruned segment scan (bucket partition filter + term predicate at
+    parquet) → broadcast (query_id, term) join → mapInPandas decode
+    emitting one (query_id, doc_id, impact) row per posting →
+    (query_id, doc_id) hash agg (partial map-side + final) → the
+    threshold filter sits directly above the agg, below ANY sort.
+    Every stage is shuffle-partitions wide; nothing accumulates a
+    corpus-sized structure per task.
+
+    Scores reproduce the frozen ascending-term float64 sum
+    bit-for-bit (the per-doc term list is sorted before summing —
+    same as bmw_topk_local / the DuckDB oracle), so results are
+    value-identical to the heap path, not just rank-identical."""
+    terms_by_query = {qid: query_terms(q) for qid, q in queries.items()}
+    pairs = [(qid, t) for qid, ts in terms_by_query.items() for t in ts]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    if not pairs:
+        return spark.createDataFrame([], out_schema)
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    if isinstance(index, str):
+        seg_rows = load_query_postings(spark, index, terms_by_query)
+    else:
+        all_terms = sorted({t for ts in terms_by_query.values() for t in ts})
+        buckets = sorted({term_bucket(t) for t in all_terms})
+        seg_rows = index.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+        )
+    joined = seg_rows.join(F.broadcast(qdf), "term")
+
+    post_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("impact", T.DoubleType()),
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                seg = row_to_segment(row)
+                doc_ids, _, imps = seg.decode_all()
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": row["query_id"],
+                            "term": row["term"],
+                            "doc_id": doc_ids,
+                            "impact": imps,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    postings = joined.mapInPandas(decode, post_schema)
+    scored = (
+        postings.groupBy("query_id", "doc_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "impact"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["impact"],
+            ).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    return scored
+
+
 def bmw_serve_arrow(
     index_path: str,
     query: str,

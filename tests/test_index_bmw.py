@@ -152,3 +152,30 @@ def test_index_df_consistency(spark, built: BuiltIndex, orc):
         rows = sorted(rows, key=lambda r: r["min_doc_id"])
         for a, b in zip(rows, rows[1:]):
             assert a["max_doc_id"] < b["min_doc_id"]
+
+
+def test_score_threshold_all_identity_and_plan(spark, built, local_docs):
+    """The threshold-first provenance scorer must be VALUE-identical
+    (float64, frozen ascending-term sum) to the exhaustive oracle for
+    every doc >= threshold, and its plan must contain no top-k heap
+    merge (no global window / TakeOrdered)."""
+    from documentindex_spark.operators.bmw import score_threshold_all
+
+    orc = oracle.OracleIndex(local_docs)
+    for qid, q in QUERIES.items():
+        for th in (0.5, 2.0):
+            res = score_threshold_all(
+                spark, built.postings_path, {0: q}, threshold=th
+            )
+            got = {
+                int(r["doc_id"]): float(r["score"]) for r in res.collect()
+            }
+            want = {
+                d: s for d, s in orc.all_matches(q, th)
+            }
+            assert got == want, (qid, th)
+    plan = score_threshold_all(
+        spark, built.postings_path, {0: "merge block"}, threshold=1.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" not in plan
+    assert "Window" not in plan

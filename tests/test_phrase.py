@@ -155,3 +155,35 @@ def test_phrase_topk_restricts_and_ranks(spark, docs_df):
     assert scores == sorted(scores, reverse=True)
     assert all(r["n_occ"] >= 1 for r in rows)
     assert [rk for rk, _ in ranks] == [1, 2, 3]
+
+
+def test_proximity_indexed_equals_tokenize_path(spark, docs_df, tmp_path):
+    """proximity from the positional index must be row-identical to
+    the per-query-tokenize operator across window widths, including
+    the same-term case (pa != pb excludes self-pairs)."""
+    from documentindex_spark.operators.phrase import proximity_matches
+    from documentindex_spark.plans.positions import (
+        build_positions_table,
+        proximity_indexed,
+    )
+
+    pos_path = build_positions_table(
+        spark, docs_df.withColumnRenamed("text", "content"),
+        str(tmp_path / "prox"), text_col="content",
+    )
+    for ta, tb, w in [
+        ("merge", "sort", 3),
+        ("merge", "sort", 1),
+        ("sort", "sort", 2),
+        ("merge", "join", 5),
+        ("merge", "zzz_absent", 4),
+    ]:
+        got = sorted(
+            (int(r["doc_id"]), int(r["n_pairs"]), int(r["min_dist"]))
+            for r in proximity_indexed(spark, pos_path, ta, tb, w).collect()
+        )
+        want = sorted(
+            (int(r["doc_id"]), int(r["n_pairs"]), int(r["min_dist"]))
+            for r in proximity_matches(docs_df, ta, tb, w).collect()
+        )
+        assert got == want, (ta, tb, w)
