@@ -625,6 +625,8 @@ _MONTHS = [
     "August", "September", "October", "November", "December",
 ]
 
+_PEOPLE = ["Alice Morgan", "Bob Stone", "Carol Diaz", "David Hume"]
+
 
 def _synth_meta_text_col():
     """Deterministic SEC-style header prepended to each document —
@@ -651,7 +653,17 @@ def _synth_meta_text_col():
         (F.lit(1000) + F.col("doc_id")).cast("string"),
         F.lit(" million\nEPS: "),
         (F.col("doc_id") % 10).cast("string"),
-        F.lit(".21\n"),
+        F.lit(".21\nCEO "),
+        F.element_at(
+            F.array(*[F.lit(n) for n in _PEOPLE]),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+        F.lit("\nChief Financial Officer: "),
+        F.element_at(
+            F.array(*[F.lit(n) for n in _PEOPLE]),
+            ((F.col("doc_id") + 1) % 4 + 1).cast("int"),
+        ),
+        F.lit("\n"),
         F.col("text"),
     )
 
@@ -667,7 +679,12 @@ _SYNTH_META_SQL = (
     "'August','September','October','November','December'])"
     "[(doc_id % 12) + 1] || ' ' || (doc_id % 28 + 1) || ', 2024' || "
     "chr(10) || 'Revenue: $' || (1000 + doc_id) || ' million' || "
-    "chr(10) || 'EPS: ' || (doc_id % 10) || '.21' || chr(10) || text"
+    "chr(10) || 'EPS: ' || (doc_id % 10) || '.21' || chr(10) || "
+    "'CEO ' || (['Alice Morgan','Bob Stone','Carol Diaz','David Hume'])"
+    "[(doc_id % 4) + 1] || chr(10) || "
+    "'Chief Financial Officer: ' || "
+    "(['Alice Morgan','Bob Stone','Carol Diaz','David Hume'])"
+    "[((doc_id + 1) % 4) + 1] || chr(10) || text"
 )
 
 
@@ -676,6 +693,7 @@ def _metadata_oracle() -> str:
         FILENAME_TICKER_RE,
         FILENAME_YEAR_RE,
         KEY_NUMBER_PATTERNS,
+        KEY_PEOPLE_RE,
         METADATA_PATTERNS,
     )
 
@@ -715,7 +733,10 @@ SELECT doc_id,
            AS fiscal_year,
        CAST(ceil(month({pe}) / 3.0) AS INT) AS fiscal_quarter,
        {rx(KEY_NUMBER_PATTERNS["revenue"])} AS revenue,
-       {rx(KEY_NUMBER_PATTERNS["eps"])} AS eps
+       {rx(KEY_NUMBER_PATTERNS["eps"])} AS eps,
+       array_to_string(list_sort(list_distinct(
+           regexp_extract_all(content, '{KEY_PEOPLE_RE}', 1))), '; ')
+           AS key_people
 FROM synth WHERE doc_id % 5 = 0
 """
 
@@ -1094,6 +1115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fiscal_quarter",
             "revenue",
             "eps",
+            # scalar shape for the gate: the array itself is the
+            # operator API; joined sorted+distinct here
+            F.concat_ws("; ", "key_people").alias("key_people"),
         )
 
     # ---- scalar bank sample (§2.8 rows under the oracle gate)

@@ -1,14 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata structs, processed by Arrow-batched pandas UDFs.
 
-Decode status (round 2): REAL decoders for uncompressed 24-bit BMP
-images and PCM-16 WAV audio — pure struct+numpy, no external media
-libraries, byte-level parsers in this file — feeding real features
-(mean-pooled grayscale bands for images, RMS envelope for audio).
-Compressed formats (PNG/JPEG/MP4) still fall back to a clearly-marked
-deterministic stub (or raise under ``strict=True``): this container
-has no codec libraries, and the fallback keeps the plan shape
-identical so wiring PIL/ffmpeg later changes one function body.
+Decode status (round 3): REAL decoders for uncompressed 24-bit BMP,
+8-bit PNG (gray/RGB/RGBA, full None/Sub/Up/Average/Paeth unfilter
+bank — zlib inflate + numpy, no imaging library), and PCM-16 WAV —
+byte-level parsers in this file — feeding real features (mean-pooled
+grayscale bands for images, RMS envelope for audio). JPEG/MP4 still
+fall back to a clearly-marked deterministic stub (or raise under
+``strict=True``): this container has no codec libraries, and the
+fallback keeps the plan shape identical so wiring PIL/ffmpeg later
+changes one function body.
 
 The Spark-side plumbing — schemas, partitioning, UDF signatures,
 batch shapes, frame-expansion explode — is real and tested
@@ -49,7 +50,12 @@ ASSET_SCHEMA = T.StructType(
     ]
 )
 
-_KINDS = [("image", "image/bmp"), ("audio", "audio/wav"), ("video", "video/mp4")]
+_KINDS = [
+    ("image", "image/bmp"),
+    ("audio", "audio/wav"),
+    ("image", "image/png"),
+    ("video", "video/mp4"),
+]
 
 
 # ------------------------------------------------- real media synthesis
@@ -102,7 +108,11 @@ def synth_assets(spark: SparkSession, n: int) -> DataFrame:
                 kind, mime = _KINDS[i % len(_KINDS)]
                 if kind == "image":
                     w, h = 16 + (i % 4) * 8, 16 + (i % 3) * 8
-                    payload = synth_bmp(i, w, h)
+                    payload = (
+                        synth_png(i, w, h)
+                        if mime == "image/png"
+                        else synth_bmp(i, w, h)
+                    )
                     meta = {"width": w, "height": h,
                             "duration_ms": None, "n_bytes": len(payload)}
                 elif kind == "audio":
@@ -158,6 +168,152 @@ def decode_bmp(payload: bytes) -> np.ndarray | None:
         payload, dtype=np.uint8, offset=data_off, count=need
     ).reshape(abs(h), row_size)[:, : w * 3].reshape(abs(h), w, 3)
     return px[::-1] if h > 0 else px  # positive h = bottom-up storage
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray | RGB | RGBA (8-bit only)
+
+
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """8-bit non-interlaced PNG (gray / RGB / RGBA) → H×W×3 uint8.
+    Pure zlib-inflate + per-row unfilter (None/Sub/Up/Average/Paeth —
+    the full filter bank), no external imaging library. Gray
+    broadcasts to 3 channels; RGBA drops alpha. None for payloads
+    this parser doesn't handle (16-bit, palette, interlaced,
+    truncated, non-PNG)."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, idat = 8, []
+    w = h = bitd = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR" and len(body) == 13:
+            w, h, bitd, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + body + crc
+    ch = _PNG_CHANNELS.get(ctype if ctype is not None else -1)
+    if w is None or bitd != 8 or interlace != 0 or ch is None:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.empty((h, w, ch), dtype=np.uint8)
+    prev = np.zeros((w, ch), dtype=np.int32)
+    zero = np.zeros(ch, dtype=np.int32)
+    off = 0
+    for y in range(h):
+        ftype = raw[off]
+        cur = (
+            np.frombuffer(raw, np.uint8, stride, off + 1)
+            .reshape(w, ch)
+            .astype(np.int32)
+        )
+        off += stride + 1
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — no left dependency, one vector op
+            cur = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # left-dependent: walk pixels,
+            for x in range(w):  # vectorized across channels
+                left = cur[x - 1] if x else zero
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + prev[x]) >> 1
+                else:
+                    up = prev[x]
+                    ul = prev[x - 1] if x else zero
+                    p = left + up - ul
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - up)
+                    pc = np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up, ul),
+                    )
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            return None
+        prev = cur
+        out[y] = cur.astype(np.uint8)
+    if ch == 1:
+        return np.repeat(out, 3, axis=2)
+    return out[:, :, :3]  # RGBA → drop alpha
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + typ
+        + body
+        + struct.pack(">I", zlib.crc32(typ + body))
+    )
+
+
+def synth_png(i: int, w: int = 16, h: int = 16) -> bytes:
+    """A VALID 8-bit RGB PNG, deterministic in ``i`` (pixel (x,y)
+    channel c = (7x + 13y + 31i + 5c) mod 256). Rows cycle through
+    ALL FIVE filter types (y mod 5) so the decoder's whole unfilter
+    bank is exercised, not just filter 0."""
+    import zlib
+
+    px = np.empty((h, w, 3), dtype=np.int32)
+    xs = np.arange(w)[None, :, None]
+    ys = np.arange(h)[:, None, None]
+    cs = np.arange(3)[None, None, :]
+    px[:] = (7 * xs + 13 * ys + 31 * i + 5 * cs) % 256
+    scan = []
+    prev = np.zeros((w, 3), dtype=np.int32)
+    zero = np.zeros(3, dtype=np.int32)
+    for y in range(h):
+        cur = px[y]
+        ftype = y % 5
+        filt = np.empty((w, 3), dtype=np.int32)
+        for x in range(w):
+            left = cur[x - 1] if x else zero
+            up = prev[x]
+            ul = prev[x - 1] if x else zero
+            if ftype == 0:
+                pred = zero
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, up, ul),
+                )
+            filt[x] = (cur[x] - pred) & 0xFF
+        scan.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
@@ -221,6 +377,8 @@ def _decode_real(payload: bytes, kind: str, dim: int) -> np.ndarray | None:
     stub."""
     if kind == "image":
         px = decode_bmp(payload)
+        if px is None:
+            px = decode_png(payload)
         if px is None:
             return None
         gray = px.mean(axis=2).mean(axis=0) / 255.0  # per-column mean

@@ -75,6 +75,17 @@ KEY_NUMBER_PATTERNS: dict[str, str] = {
     "shareholders_equity": r"(?:Total\s+)?(?:Shareholders?'?|Stockholders?'?)\s+Equity[:\s]*\$?\s*([\d,\.]+)\s*(?:million|billion|M|B)?",
 }
 
+# key_people (reference metadata.py:292-341): LLM-extracted there
+# ("key_people": ["CEO Name", "CFO Name"]); the deterministic analog
+# is a title-anchored proper-name regex. Case-SENSITIVE (titles and
+# names are cased tokens) and RE2-safe — the driver oracle runs the
+# identical string through DuckDB regexp_extract_all.
+KEY_PEOPLE_RE = (
+    r"(?:Chief Executive Officer|Chief Financial Officer|"
+    r"Chief Operating Officer|CEO|CFO|COO|Chairman|President)"
+    r"[,:]?\s+([A-Z][a-z]+(?: [A-Z][a-z]*){1,2})"
+)  # 2nd/3rd tokens may be bare initials ("John Q Smith")
+
 # Filename hints (metadata.py:249-263): ticker from 'AAPL_10K_2024',
 # fiscal year from '_2024_' / '-2024.' fragments — only when the
 # content extraction came up empty (coalesce order matches).
@@ -159,6 +170,13 @@ def extract_document_metadata(
         fiscal_quarter(period_end).alias("fiscal_quarter"),
         *[knum_cols[name].alias(name) for name in KEY_NUMBER_PATTERNS],
         key_numbers.alias("key_numbers"),
+        # sorted+distinct, matching the reference's merge-time dedup
+        # of the key_people list (metadata.py:337-341)
+        F.array_sort(
+            F.array_distinct(
+                F.regexp_extract_all(sample, F.lit(KEY_PEOPLE_RE), 1)
+            )
+        ).alias("key_people"),
     )
 
 

@@ -59,14 +59,30 @@ def append_documents(
         new_files = new_files.withColumn(
             "content_sha", F.sha2(F.col(text_col), 256)
         )
-    # Identity columns when present; otherwise order by content_sha —
-    # a fixed-width key, never the raw text (ordering by full bodies
-    # pushed documents through one sort task, and duplicate texts are
-    # byte-identical rows so any order among equal shas yields the
-    # same appended corpus). Two-pass assignment: no global window.
+    # Identity columns when present; otherwise order by content_sha
+    # PLUS a full-row digest tiebreaker — a fixed-width key, never the
+    # raw text (ordering by full bodies pushed documents through one
+    # sort task). Rows can share text while differing elsewhere (lang,
+    # source), so sha ties are NOT guaranteed byte-identical rows;
+    # without the tiebreaker which row got which doc_id was
+    # nondeterministic across runs (round-2 advice). The digest hashes
+    # a canonical concat of every column, making the order key total.
     order_cols = [c for c in ("repo", "path", "commit") if c in new_files.columns]
     if not order_cols:
-        order_cols = ["content_sha"]
+        new_files = new_files.withColumn(
+            "_row_sha",
+            F.sha2(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in sorted(new_files.columns)
+                    ],
+                ),
+                256,
+            ),
+        )
+        order_cols = ["content_sha", "_row_sha"]
     new_with_ids = dense_ids(new_files, order_cols, "doc_id", offset=base_n)
     # align schemas (union corpus)
     for c in old_docs.columns:

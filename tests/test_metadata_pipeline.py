@@ -107,3 +107,36 @@ def test_merge_prefers_primary_and_unions_lists(spark):
     got = {r["doc_id"]: r for r in merge_metadata(p, s).collect()}
     assert got[0]["name"] == "A" and got[0]["tags"] == ["x", "z"]
     assert got[1]["name"] == "C" and got[1]["tags"] == ["w", "y"]
+
+
+def test_key_people_extraction_and_merge(spark):
+    """Deterministic analog of the reference's LLM key_people list
+    (metadata.py:292-341): title-anchored proper names, sorted +
+    distinct; merge_metadata unions the lists."""
+    from documentindex_spark.operators.metadata import (
+        extract_document_metadata,
+        merge_metadata,
+    )
+
+    rows = [
+        (0, "CEO Jane Doe\nChief Financial Officer: John Q Smith\n"
+            "President Jane Doe\nVice President nobody lowercase"),
+        (1, "no people here"),
+        (2, "Chairman Ada Lovelace, CFO Alan Turing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    md = extract_document_metadata(df)
+    got = {r["doc_id"]: list(r["key_people"]) for r in md.collect()}
+    assert got[0] == ["Jane Doe", "John Q Smith"]  # distinct + sorted
+    assert got[1] == []
+    assert got[2] == ["Ada Lovelace", "Alan Turing"]
+    # merge unions lists (reference merge semantics)
+    other = spark.createDataFrame(
+        [(0, ["Jane Doe", "Zed Zane"]), (1, ["Solo Person"])],
+        "doc_id long, key_people array<string>",
+    )
+    merged = merge_metadata(md.select("doc_id", "key_people"), other)
+    m = {r["doc_id"]: list(r["key_people"]) for r in merged.collect()}
+    assert m[0] == ["Jane Doe", "John Q Smith", "Zed Zane"]
+    assert m[1] == ["Solo Person"]
+    assert m[2] == ["Ada Lovelace", "Alan Turing"]

@@ -75,3 +75,91 @@ def test_real_feature_paths():
     assert wav_feat is not None and wav_feat.shape == (8,)
     assert _decode_real(b"not media", "image", 8) is None
     assert _decode_real(b"\x00" * 100, "video", 8) is None
+
+
+def test_png_exact_pixels_all_filters():
+    """synth_png cycles rows through all five filter types; the
+    decoder must reproduce the exact pixel formula for every one."""
+    from documentindex_spark.functions.multimodal import (
+        decode_png,
+        synth_png,
+    )
+
+    for i, w, h in [(0, 16, 16), (3, 24, 32), (7, 5, 11)]:
+        px = decode_png(synth_png(i, w, h))
+        assert px is not None and px.shape == (h, w, 3)
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    assert px[y, x, c] == (7 * x + 13 * y + 31 * i + 5 * c) % 256
+
+
+def test_png_gray_and_rgba():
+    import zlib
+
+    from documentindex_spark.functions.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    # 2x2 grayscale, filter 0: pixels 10,20 / 30,40
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    scan = b"\x00\x0a\x14" + b"\x00\x1e\x28"
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(scan))
+           + _png_chunk(b"IEND", b""))
+    px = decode_png(png)
+    assert px.shape == (2, 2, 3)
+    assert px[0, 0].tolist() == [10, 10, 10]  # gray broadcast
+    assert px[1, 1].tolist() == [40, 40, 40]
+    # 1x1 RGBA, filter 0: alpha dropped
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    scan = b"\x00\x01\x02\x03\xff"
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(scan))
+           + _png_chunk(b"IEND", b""))
+    assert decode_png(png)[0, 0].tolist() == [1, 2, 3]
+
+
+def test_png_rejects_unsupported():
+    import zlib
+
+    from documentindex_spark.functions.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        synth_png,
+    )
+
+    assert decode_png(b"not a png") is None
+    assert decode_png(synth_png(1)[:40]) is None  # truncated
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+           + _png_chunk(b"IEND", b""))
+    assert decode_png(png) is None
+    # interlaced
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+           + _png_chunk(b"IEND", b""))
+    assert decode_png(png) is None
+    # corrupt deflate stream
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", b"\xde\xad\xbe\xef")
+           + _png_chunk(b"IEND", b""))
+    assert decode_png(png) is None
+
+
+def test_png_real_feature_path():
+    from documentindex_spark.functions.multimodal import (
+        _decode_real,
+        synth_png,
+    )
+
+    feat = _decode_real(synth_png(2, 16, 16), "image", 8)
+    assert feat is not None and feat.shape == (8,)
+    assert all(0.0 <= v < 1.0 for v in feat)
