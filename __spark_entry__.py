@@ -534,6 +534,55 @@ FROM bits GROUP BY 1
 )
 
 
+# simhash near-dup oracle: full-corpus signatures (same 64-bit md5
+# decomposition as _SIMHASH_ORACLE), 4 × 16-bit segment-bucket
+# candidates (DuckDB's arithmetic >> then & 65535 equals Spark's
+# shiftrightunsigned+mask), exact Hamming verify via bit_count(xor).
+_SIMHASH_NEARDUP_ORACLE = (
+    _ORACLE_TOKS
+    + """
+, th AS (
+    SELECT doc_id, tf,
+           CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS h_hi,
+           CAST(concat('0x', substr(md5(term), 9, 8)) AS BIGINT) AS h_lo
+    FROM tf
+),
+bits AS (
+    SELECT doc_id, b.i AS i,
+           sum(CASE WHEN ((CASE WHEN b.i < 32 THEN h_lo >> b.i
+                                ELSE h_hi >> (b.i - 32) END) & 1) = 1
+                    THEN tf ELSE -tf END) AS acc
+    FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) b
+    GROUP BY 1, 2
+),
+sigs AS (
+    SELECT doc_id,
+           sum(CASE WHEN acc > 0 THEN
+                 (CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                       ELSE (1::BIGINT << i) END)
+               ELSE 0 END)::BIGINT AS simhash
+    FROM bits GROUP BY 1
+),
+seg AS (
+    SELECT doc_id AS doc, s.i AS seg,
+           (simhash >> (s.i * 16)) & 65535 AS seg_key
+    FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS i) s
+),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM seg a JOIN seg b USING (seg, seg_key)
+    WHERE a.doc < b.doc
+)
+SELECT c.doc_a, c.doc_b,
+       bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+)
+
+
 def _evidence_multi_oracle(
     topics: dict[int, list[str]], th: float, ex_th: float, width: int
 ) -> str:
@@ -879,6 +928,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assigned = ivf_assign(emb, cents)
         return ivf_topk(assigned, cents, list(qv), k=10, n_probe=3)
 
+    def q_ann_ivf_kmeans(spark, sf_dir):
+        # production IVF quantizer (pyspark.ml KMeans, seeded) —
+        # iterative, so NOT SQL-reproducible: rows-only driver check
+        # by design; recall vs brute force is pinned in tests
+        from documentindex_spark.operators.ann import (
+            ivf_assign,
+            ivf_centroids_kmeans,
+            ivf_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 7).head()["embedding"]
+        cents = ivf_centroids_kmeans(emb, 8)
+        assigned = ivf_assign(emb, cents)
+        return ivf_topk(assigned, cents, list(qv), k=10, n_probe=3)
+
+    def q_simhash_near_dup(spark, sf_dir):
+        return dedup.simhash_near_duplicates(
+            _docs(spark, sf_dir), max_hamming=3
+        )
+
     # ---- text analysis
     def q_quality(spark, sf_dir):
         return textstats.quality_features(_docs(spark, sf_dir)).filter(
@@ -893,6 +963,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lang(spark, sf_dir):
         return textstats.language_scores(_docs(spark, sf_dir)).filter(
             F.col("doc_id") % 25 == 0
+        )
+
+    def q_curation(spark, sf_dir):
+        # end-to-end training-data curation: exact-dedup keep-first +
+        # quality gate + language gate in one plan, over ALL docs
+        return textstats.curate_corpus(
+            _docs(spark, sf_dir), min_quality=0.6, lang="en"
         )
 
     def q_fingerprints(spark, sf_dir):
@@ -1223,9 +1300,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_emb_neardup,
         "ann_brute_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
+        "simhash_near_dup": q_simhash_near_dup,
         "quality_features": q_quality,
         "token_counts": q_token_counts,
         "language_scores": q_lang,
+        "curation_pipeline": q_curation,
         "doc_fingerprints": q_fingerprints,
         "doc_type_votes": q_doc_type,
         "batch_packing": q_batch_packing,
@@ -1492,6 +1572,49 @@ FROM j WHERE doc_id % 10 = 0
         ),
         "evidence_excerpts": _EXCERPTS_ORACLE,
         "simhash_signatures": _SIMHASH_ORACLE,
+        "simhash_near_dup": _SIMHASH_NEARDUP_ORACLE,
+        # ann_ivf_kmeans_topk: intentionally NO oracle — pyspark.ml
+        # KMeans is iterative (not SQL-reproducible); the driver
+        # records a rows-only check and tests pin recall vs brute.
+        "curation_pipeline": f"""
+WITH s AS (SELECT doc_id, {lang_scores_sql} FROM documents),
+b AS (SELECT *, greatest({greatest_scores}) AS best FROM s),
+lp AS (SELECT doc_id, CASE {lang_pred_cases} END AS lang_pred FROM b),
+f AS (
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
+           len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b'))::BIGINT AS n_stop
+    FROM documents
+),
+r AS (
+    SELECT doc_id,
+           CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0.0 END AS avg_tok,
+           CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_r,
+           CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stop_r,
+           n_tokens
+    FROM f
+),
+q AS (
+    SELECT doc_id, round(
+      (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN avg_tok >= 3.0 AND avg_tok <= 12.0 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN punct_r <= 0.2 THEN 0.2 ELSE 0.0 END)
+      + (CASE WHEN stop_r >= 0.01 THEN 0.1 ELSE 0.0 END), 6) AS quality_score
+    FROM r
+),
+sh AS (SELECT doc_id, sha256(text) AS sha FROM documents),
+k AS (SELECT sha, min(doc_id) AS keeper FROM sh GROUP BY 1)
+SELECT q.doc_id, q.quality_score, lp.lang_pred,
+       (sh.doc_id <> k.keeper) AS is_exact_dup,
+       ((sh.doc_id = k.keeper) AND q.quality_score >= 0.6
+        AND lp.lang_pred = 'en') AS keep
+FROM q
+JOIN lp ON lp.doc_id = q.doc_id
+JOIN sh ON sh.doc_id = q.doc_id
+JOIN k USING (sha)
+""",
         "doc_type_votes": _doc_type_oracle(),
         "batch_packing": """
 WITH o AS (

@@ -118,3 +118,44 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sha2(norm, 256).alias("content_sha"),
         min_tok_fp.alias("min_token_fp"),
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    min_quality: float = 0.6,
+    lang: str = "en",
+    text_col: str = "text",
+) -> DataFrame:
+    """The standard training-data curation pass as ONE plan:
+    (doc_id, quality_score, lang_pred, is_exact_dup, keep).
+
+    - exact-dedup keep-first: one hash agg on sha2(text) → min doc_id
+      per group, broadcast-sized join back (NOT a window over the
+      corpus: the agg side is |distinct texts| and partial-aggregates
+      map-side);
+    - quality gate: ``quality_features().quality_score ≥ min_quality``;
+    - language gate: ``language_scores().lang_pred == lang``.
+
+    keep = not-dup AND quality AND language. All built-ins,
+    SQL-expressible (DuckDB-oracled: driver entry
+    ``curation_pipeline``). At 100 TB this is two shuffles total (the
+    sha agg + the join; quality/language are map-side projections)."""
+    q = quality_features(df, text_col).select("doc_id", "quality_score")
+    lp = language_scores(df, text_col).select("doc_id", "lang_pred")
+    sha = df.select("doc_id", F.sha2(F.col(text_col), 256).alias("_sha"))
+    keeper = sha.groupBy("_sha").agg(F.min("doc_id").alias("_keeper"))
+    flags = sha.join(keeper, "_sha").select(
+        "doc_id", (F.col("doc_id") != F.col("_keeper")).alias("is_exact_dup")
+    )
+    out = q.join(lp, "doc_id").join(flags, "doc_id")
+    return out.select(
+        "doc_id",
+        "quality_score",
+        "lang_pred",
+        "is_exact_dup",
+        (
+            (~F.col("is_exact_dup"))
+            & (F.col("quality_score") >= min_quality)
+            & (F.col("lang_pred") == lang)
+        ).alias("keep"),
+    )
