@@ -210,6 +210,32 @@ def _bmw(query: str, k: int):
     return run
 
 
+def _bmw_threshold_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-mode scoring from the COMPRESSED index via
+    score_threshold_all (round-3 threshold-first plan: no top-k heap,
+    no global window) — same result set as bm25_threshold_all. The
+    raw pre-filter sits slightly below the rounded gate so boundary
+    docs (raw 0.6999996 → 0.7) survive to the rounded comparison the
+    oracle applies."""
+    from documentindex_spark.operators.bmw import score_threshold_all
+
+    docs = _docs(spark, sf_dir)
+    built = build_index(
+        spark,
+        docs,
+        _driver_index_dir(sf_dir),
+        input_id=_input_id(spark, sf_dir),
+        text_col="text",
+        bucket_groups=1,
+    )
+    res = score_threshold_all(
+        spark, built.postings_path, {0: "merge sort"}, threshold=0.65
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score")).filter(
+        F.col("score") >= 0.7
+    )
+
+
 def _doc_type_oracle() -> str:
     from documentindex_spark.functions.scalar import DOC_TYPE_PATTERNS
 
@@ -645,6 +671,19 @@ SELECT doc_id, score,
        unnest(range(len(excerpts))) AS excerpt_idx,
        unnest(excerpts) AS excerpt
 FROM hit_lists
+"""
+)
+
+
+_THRESHOLD_ALL_ORACLE = (
+    _ORACLE_TOKS
+    + """
+, scored AS (
+    SELECT doc_id, sum(impact) AS score
+    FROM imp WHERE term IN ('merge', 'sort') GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+WHERE round(score, 6) >= 0.7
 """
 )
 
@@ -1289,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_single_hot": _bm25_topk("the", 10),
         "bm25_topk_three_terms": _bm25_topk("spark window filter", 10),
         "bm25_threshold_all": q_bm25_threshold,
+        "bmw_threshold_all": _bmw_threshold_all,
         "bmw_topk_merge_sort": _bmw("merge sort", 10),
         "bmw_topk_three_terms": _bmw("spark window filter", 10),
         "evidence_snippets": q_evidence_snippets,
@@ -1368,15 +1408,10 @@ def oracle_sql() -> dict[str, str]:
         "bmw_topk_three_terms": _bm25_oracle(
             ["filter", "spark", "window"], 10
         ),
-        "bm25_threshold_all": _ORACLE_TOKS
-        + """
-, scored AS (
-    SELECT doc_id, sum(impact) AS score
-    FROM imp WHERE term IN ('merge', 'sort') GROUP BY doc_id
-)
-SELECT doc_id, round(score, 6) AS score FROM scored
-WHERE round(score, 6) >= 0.7
-""",
+        "bm25_threshold_all": _THRESHOLD_ALL_ORACLE,
+        # the index-resident threshold-first plan must produce the
+        # SAME result set — same oracle
+        "bmw_threshold_all": _THRESHOLD_ALL_ORACLE,
         "evidence_snippets": _ORACLE_TOKS
         + """
 , scored AS (
