@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..constants import DOC_BAND_SIZE, NUM_TERM_BUCKETS, POSTINGS_PER_SHARD
-from ..functions.tokenize import term_frequencies
+from ..functions.tokenize import term_frequencies_colocated
 from ..operators.bm25 import impacts
 from ..operators.postings import build_segments
 from ..operators.stats import CorpusStats, corpus_stats, document_frequencies
@@ -135,7 +135,12 @@ def build_index(
                 shutil.rmtree(derived)
         man.begin("tf", fp_tf)
         t0 = time.time()
-        term_frequencies(docs, text_col).write.mode("overwrite").parquet(tf_path)
+        # colocated variant: exchange moved below the explode (content
+        # bytes, not tf rows) — measured 2.25× on this stage
+        # (BENCH/tf_ab.json; tokenize.term_frequencies_colocated).
+        term_frequencies_colocated(docs, text_col).write.mode(
+            "overwrite"
+        ).parquet(tf_path)
         n = spark.read.parquet(tf_path).count()
         man.complete("tf", n, tf_path, (time.time() - t0) * 1000)
     tf = spark.read.parquet(tf_path)

@@ -25,7 +25,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tokenize import term_frequencies
+from ..functions.tokenize import term_frequencies_colocated
 from .build_index import BuiltIndex, build_index
 from .checkpoint import Manifest, stage_fingerprint
 
@@ -94,7 +94,9 @@ def append_documents(
     t0 = time.time()
     new_aligned.write.mode("append").parquet(docs_path)
     tf_path = os.path.join(out_dir, "tf")
-    term_frequencies(new_aligned, text_col).write.mode("append").parquet(tf_path)
+    term_frequencies_colocated(new_aligned, text_col).write.mode(
+        "append"
+    ).parquet(tf_path)
     tokenize_ms = (time.time() - t0) * 1000
 
     # 2. stamp docs+tf stages as complete under the NEW fingerprints
