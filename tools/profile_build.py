@@ -11,7 +11,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from documentindex_spark.corpus import generate_repo_files
-from documentindex_spark.functions.tokenize import term_frequencies
+from documentindex_spark.functions.tokenize import term_frequencies_colocated
 from documentindex_spark.operators.bm25 import impacts
 from documentindex_spark.operators.postings import build_segments
 from documentindex_spark.operators.stats import corpus_stats, document_frequencies
@@ -38,7 +38,7 @@ files.write.mode("overwrite").parquet(f"{out}/docs")
 tick("gen+ids+write docs")
 
 docs = spark.read.parquet(f"{out}/docs")
-term_frequencies(docs).write.mode("overwrite").parquet(f"{out}/tf")
+term_frequencies_colocated(docs).write.mode("overwrite").parquet(f"{out}/tf")
 tick("tokenize+tf write")
 
 tf = spark.read.parquet(f"{out}/tf")
