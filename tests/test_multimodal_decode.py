@@ -163,3 +163,15 @@ def test_png_real_feature_path():
     feat = _decode_real(synth_png(2, 16, 16), "image", 8)
     assert feat is not None and feat.shape == (8,)
     assert all(0.0 <= v < 1.0 for v in feat)
+
+
+def test_mp4_container_roundtrip():
+    from documentindex_spark.functions.multimodal import (
+        parse_mp4_meta,
+        synth_mp4,
+    )
+
+    meta = parse_mp4_meta(synth_mp4(3, dur_ms=2500, w=96, h=64))
+    assert meta == {"duration_ms": 2500, "width": 96, "height": 64}
+    assert parse_mp4_meta(b"not an mp4 container") is None
+    assert parse_mp4_meta(b"\x00" * 4 + b"ftyp") is None  # truncated
