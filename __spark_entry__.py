@@ -931,6 +931,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ngram_jaccard(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.25)
 
+    def q_substring_dup_spans(spark, sf_dir):
+        # Lee-et-al-style exact-substring spans at 8-token grams.
+        # use_hash=False so the key is the literal gram string, exactly
+        # what the DuckDB twin groups on (the hash variant is asserted
+        # identical in tests/test_dedup.py).
+        return dedup.exact_substring_spans(
+            _docs(spark, sf_dir), k=8, use_hash=False
+        ).select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_len_tokens").cast("long").alias("span_len_tokens"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+        )
+
     def q_minhash_sample(spark, sf_dir):
         return dedup.minhash_signatures(
             _docs(spark, sf_dir), num_hashes=4
@@ -1334,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evidence_snippets": q_evidence_snippets,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "substring_dup_spans": q_substring_dup_spans,
         "minhash_signatures": q_minhash_sample,
         "minhash_near_dup": q_minhash_near_dup,
         "minhash_incremental_dedup": q_minhash_incremental,
@@ -1444,6 +1459,31 @@ g AS (
     FROM h GROUP BY 1 HAVING count(*) > 1
 )
 SELECT content_hash, n_docs, unnest(doc_ids) AS doc_id FROM g
+""",
+        "substring_dup_spans": """
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id, i - 1 AS ord, array_to_string(toks[i:i+7], ' ') AS gram
+    FROM tl, unnest(range(1, len(toks) - 6)) AS r(i)
+    WHERE len(toks) >= 8
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dpos AS (SELECT doc_id, ord FROM g JOIN dup USING (gram)),
+isl AS (
+    SELECT doc_id, ord,
+           ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS grp
+    FROM dpos
+)
+SELECT doc_id,
+       min(ord)::BIGINT AS span_start,
+       (max(ord) - min(ord) + 8)::BIGINT AS span_len_tokens,
+       count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc_id, grp
 """,
         "ngram_jaccard_pairs": _ORACLE_SHINGLES
         + """

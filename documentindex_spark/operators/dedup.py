@@ -48,6 +48,83 @@ def exact_duplicates(
     )
 
 
+# ----------------------------------------------- exact substring spans
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_hash: bool = True,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication at k-token-gram granularity —
+    the "dedup by exact substring match" operator of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed relationally instead of via suffix arrays:
+
+    1. positional k-gram per token ordinal (lead window — the same
+       self-join-free shape as ``shingles``, but KEEPING position and
+       multiplicity);
+    2. global gram occurrence counts (partial+final hash agg — the
+       one big shuffle; map-side combine absorbs hot boilerplate
+       grams);
+    3. positions whose gram occurs ≥ ``min_count`` times anywhere in
+       the corpus (left-semi join back on the gram key);
+    4. maximal spans per document via gaps-and-islands (ord −
+       row_number is constant within a consecutive run).
+
+    Returns (doc_id, span_start, span_len_tokens, n_grams): token
+    ordinals are contiguous 0-based (row_number over the raw split
+    positions), span_len_tokens = run_length + k − 1.
+
+    ``use_hash=True`` shuffles xxhash64(gram) instead of the k-token
+    string (8 bytes vs ~8·k — the 100 TB shape; a 64-bit collision
+    needs ~2^32 distinct grams in one corpus to appear at even-odds,
+    and a collision only risks a spurious span, not data loss).
+    ``use_hash=False`` keeps the exact string key — bit-identical to
+    the DuckDB oracle by construction and asserted equal to the hash
+    variant in tests/test_dedup.py.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    t = tokenize(df, text_col, id_col).withColumn(
+        "ord", F.row_number().over(w) - 1
+    )
+    lead_cols = []
+    for i in range(1, k):
+        name = f"_lead{i}"
+        t = t.withColumn(name, F.lead("term", i).over(w))
+        lead_cols.append(name)
+    if lead_cols:
+        t = t.filter(F.col(lead_cols[-1]).isNotNull())
+    gram = F.concat_ws(" ", "term", *lead_cols)
+    key = F.xxhash64(gram) if use_hash else gram
+    g = t.select(id_col, "ord", key.alias("gram_key"))
+    dup_keys = (
+        g.groupBy("gram_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("gram_key")
+    )
+    dpos = g.join(dup_keys, "gram_key", "left_semi")
+    w2 = Window.partitionBy(id_col).orderBy("ord")
+    isl = dpos.withColumn(
+        "_grp", F.col("ord") - (F.row_number().over(w2) - 1)
+    )
+    return (
+        isl.groupBy(id_col, "_grp")
+        .agg(
+            F.min("ord").alias("span_start"),
+            (F.max("ord") - F.min("ord") + F.lit(k)).alias("span_len_tokens"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("_grp")
+    )
+
+
 # ----------------------------------------------------------- shingles
 
 

@@ -260,3 +260,47 @@ def test_simhash_bucket_size_guard(spark):
     }
     assert not any(a < 6 and b < 6 for a, b in capped)
     assert (10, 11) in capped
+
+
+# ------------------------------------------- exact substring spans
+
+
+def test_exact_substring_spans_planted(spark):
+    """Hand-computed spans: a 10-token substring shared across two
+    docs, a self-repeating doc, and an unrelated doc with none."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),
+            (1, "x x a b c d e f g h i j y"),
+            (2, "unrelated words only here now there once upon time foo"),
+            (3, "p q r s p q r s p q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, dedup.exact_substring_spans(docs, k=4).collect())
+    )
+    # doc0: grams 0..6 dup (shared run) -> span (0, 10, 7)
+    # doc1: grams 2..8 dup -> span (2, 10, 7)
+    # doc3: every gram 0..8 occurs >=2 within the doc -> (0, 12, 9)
+    assert got == [(0, 0, 10, 7), (1, 2, 10, 7), (3, 0, 12, 9)], got
+
+
+def test_exact_substring_spans_hash_eq_string(docs_df):
+    a = sorted(
+        map(
+            tuple,
+            dedup.exact_substring_spans(
+                docs_df, k=3, use_hash=True
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.exact_substring_spans(
+                docs_df, k=3, use_hash=False
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
