@@ -1003,6 +1003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # ---- text analysis
+    def q_lm_quality(spark, sf_dir):
+        return textstats.lm_quality_scores(_docs(spark, sf_dir))
+
     def q_quality(spark, sf_dir):
         return textstats.quality_features(_docs(spark, sf_dir)).filter(
             F.col("doc_id") % 25 == 0
@@ -1358,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "simhash_near_dup": q_simhash_near_dup,
         "quality_features": q_quality,
+        "lm_quality_scores": q_lm_quality,
         "token_counts": q_token_counts,
         "language_scores": q_lang,
         "curation_pipeline": q_curation,
@@ -1556,6 +1560,26 @@ s AS (
 SELECT vec_id, cos,
        row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
 FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+        "lm_quality_scores": """
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+    FROM tl, unnest(range(1, len(toks))) AS r(i)
+    WHERE len(toks) >= 2
+),
+cb AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM bg GROUP BY 1, 2),
+cc AS (SELECT w1, sum(c2) AS c1 FROM cb GROUP BY 1)
+SELECT doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       round(avg(ln(c2 / c1)), 6) AS avg_logprob
+FROM bg JOIN cb USING (w1, w2) JOIN cc USING (w1)
+GROUP BY doc_id
 """,
         "quality_features": r"""
 WITH f AS (

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .tokenize import tokenize
+
 # n-gram/stopword evidence lists per language (tiny, frozen).
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is"],
@@ -99,6 +101,52 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         ws.cast("long").alias("ws_tokens"),
         bpe.cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+def lm_quality_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — corpus-LM fluency score:
+    each document's mean token-bigram log-likelihood under the
+    corpus's OWN bigram distribution (the CCNet/KenLM perplexity
+    quality signal, with the corpus itself as the language model —
+    no external model artifact, fully deterministic, SQL-oracled).
+
+    P(w2|w1) = count(w1,w2) / Σ_w count(w1,w); every observed bigram
+    has count ≥ 1, so no smoothing is needed and avg_logprob ≤ 0 with
+    boilerplate-heavy docs scoring near 0 (their bigrams dominate the
+    corpus) and disfluent/rare-junk docs scoring very negative — the
+    usual filter keeps a mid-band.
+
+    Plan: tokenize → lead-window bigrams → ONE partial+final hash agg
+    for bigram counts; context counts derive from the (much smaller)
+    bigram-count table, not a second pass over tokens; probability
+    join is shuffle-hash on (w1,w2) then w1; per-doc mean is the
+    final agg. Four shuffles total, all key-partitioned, no
+    collect — the 100 TB shape.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    t = tokenize(df, text_col, id_col).withColumn(
+        "w2", F.lead("term", 1).over(w)
+    )
+    bg = t.filter(F.col("w2").isNotNull()).select(
+        id_col, F.col("term").alias("w1"), "w2"
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cc = cb.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        bg.join(cb, ["w1", "w2"])
+        .join(cc, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c2") / F.col("c1"))), 6
+            ).alias("avg_logprob"),
+        )
     )
 
 

@@ -201,3 +201,23 @@ def test_multi_grain_rollup_internally_consistent(spark):
     total_events = events.count()
     for grain in ("5m", "1h", "1d"):
         assert sum(n for n, _ in by_grain[grain].values()) == total_events
+
+
+def test_lm_quality_scores_hand_computed(spark):
+    """Corpus: (a,b)x3, (b,a)x1, (b,c)x1 -> ctx a:3, b:2.
+    doc0 = 'a b a b': mean(ln1, ln.5, ln1) = ln(.5)/3;
+    doc1 = 'a b c':   mean(ln1, ln.5)      = ln(.5)/2."""
+    import math
+
+    from documentindex_spark.functions import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    got = {
+        int(r["doc_id"]): (int(r["n_bigrams"]), float(r["avg_logprob"]))
+        for r in textstats.lm_quality_scores(docs).collect()
+    }
+    assert got[0] == (3, round(math.log(0.5) / 3, 6))
+    assert got[1] == (2, round(math.log(0.5) / 2, 6))
+    assert set(got) == {0, 1}
