@@ -1002,6 +1002,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), max_hamming=3
         )
 
+    # ---- multimodal (rows-only: decode paths aren't SQL-expressible;
+    # byte-exact decoder correctness is pinned in tests/test_jpeg_decode
+    # and tests/test_multimodal_decode instead)
+    def q_multimodal_features(spark, sf_dir):
+        from documentindex_spark.functions import multimodal
+
+        assets = multimodal.synth_assets(spark, 200)
+        feats = multimodal.extract_features(assets, dim=8)
+        return feats.select(
+            "asset_id",
+            "kind",
+            "decoder",
+            F.posexplode("feature").alias("dim_idx", "value"),
+        ).select(
+            "asset_id",
+            "kind",
+            "decoder",
+            "dim_idx",
+            F.round(F.col("value").cast("double"), 6).alias("value"),
+        )
+
     # ---- text analysis
     def q_lm_quality(spark, sf_dir):
         return textstats.lm_quality_scores(_docs(spark, sf_dir))
@@ -1362,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "quality_features": q_quality,
         "lm_quality_scores": q_lm_quality,
+        "multimodal_features": q_multimodal_features,
         "token_counts": q_token_counts,
         "language_scores": q_lang,
         "curation_pipeline": q_curation,
