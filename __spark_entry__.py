@@ -1023,6 +1023,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("value").cast("double"), 6).alias("value"),
         )
 
+    # ---- BPE vocabulary induction (rows-only: the merge loop is
+    # iterative argmax — not SQL-expressible; hand-traced merges and
+    # the application roundtrip are pinned in tests/test_bpe.py)
+    def q_bpe_merges(spark, sf_dir):
+        from documentindex_spark.functions import bpe
+
+        return bpe.bpe_merges(_docs(spark, sf_dir), n_merges=50)
+
     # ---- text analysis
     def q_lm_quality(spark, sf_dir):
         return textstats.lm_quality_scores(_docs(spark, sf_dir))
@@ -1384,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality,
         "lm_quality_scores": q_lm_quality,
         "multimodal_features": q_multimodal_features,
+        "bpe_merges": q_bpe_merges,
         "token_counts": q_token_counts,
         "language_scores": q_lang,
         "curation_pipeline": q_curation,

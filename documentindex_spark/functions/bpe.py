@@ -1,0 +1,202 @@
+"""BPE vocabulary induction + application (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units").
+
+Scale shape: the corpus pass is ONE Spark aggregation (distinct-word
+frequencies — token mass in, |vocab| rows out); the merge loop then
+runs driver-side over that word-frequency table, exactly how
+production BPE trainers (sentencepiece, HF tokenizers) operate — the
+iterative argmax over pair counts is inherently sequential, and its
+input is the word table, never the corpus. ``max_vocab_collect``
+guards the collect; corpora whose DISTINCT-word count exceeds it
+should raise the threshold or pre-truncate rare words (the standard
+practice), not stream the merge loop.
+
+Application (``apply_bpe``) is distributed again: a vectorized
+pandas UDF replays the merge ranks greedily per word, with an
+LRU-less per-batch memo (Zipf makes word→pieces highly repetitive).
+
+Deterministic end-to-end: pair ties break on (left, right)
+lexicographic order, so the merge list is a pure function of the
+corpus. Iterative ⇒ not SQL-expressible; the driver gate records the
+rows-only check and correctness is pinned by the hand-traced
+Sennrich-style example in tests/test_bpe.py.
+
+Task-brief scope (training-data pipeline op); no reference analog —
+the reference estimates token counts (utils.py:227-239) but never
+induces a vocabulary.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .tokenize import tokenize
+
+END = "</w>"
+
+MERGE_SCHEMA = T.StructType(
+    [
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("left", T.StringType()),
+        T.StructField("right", T.StringType()),
+        T.StructField("freq", T.LongType()),
+    ]
+)
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, freq) over the frozen analyzer's tokens — the single
+    corpus-wide pass (partial+final hash agg)."""
+    return (
+        tokenize(df, text_col, id_col)
+        .groupBy(F.col("term").alias("word"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def train_bpe(
+    word_freq: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side merge loop: (left, right, pair_freq) per merge, in
+    rank order. Ties break on lexicographically smallest (left,
+    right) — full determinism."""
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [END], int(f)) for w, f in word_freq
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, freq in words:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        best_freq = max(pairs.values())
+        if best_freq < 2:
+            break  # singleton pairs carry no generalization
+        left, right = min(p for p, c in pairs.items() if c == best_freq)
+        merges.append((left, right, int(best_freq)))
+        joined = left + right
+        for k, (syms, freq) in enumerate(words):
+            i, out = 0, []
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[k] = (out, freq)
+    return merges
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab_collect: int = 1_000_000,
+) -> DataFrame:
+    """(rank, left, right, freq) — the induced merge table as a
+    DataFrame (broadcastable to apply_bpe)."""
+    wf = word_frequencies(df, text_col, id_col)
+    n_vocab = wf.count()
+    if n_vocab > max_vocab_collect:
+        raise ValueError(
+            f"distinct-word count {n_vocab} exceeds max_vocab_collect="
+            f"{max_vocab_collect}; raise it or pre-truncate rare words"
+        )
+    pairs = [(r["word"], int(r["freq"])) for r in wf.collect()]
+    pairs.sort()  # collect order is not deterministic; the loop input must be
+    merges = train_bpe(pairs, n_merges)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            {"rank": i, "left": l, "right": r, "freq": f}
+            for i, (l, r, f) in enumerate(merges)
+        ]
+        or [],
+        MERGE_SCHEMA,
+    )
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        ranked = [
+            (ranks[p], i)
+            for i, p in enumerate(zip(syms, syms[1:]))
+            if p in ranks
+        ]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        syms[i : i + 2] = [syms[i] + syms[i + 1]]
+    return syms
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, word_ord, piece_ord, piece) — BPE-encoded corpus via a
+    vectorized pandas UDF; merge ranks are a closure broadcast with
+    the task (tiny). Per-batch memo exploits Zipf repetition."""
+    ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("word_ord", T.IntegerType()),
+            T.StructField("piece_ord", T.IntegerType()),
+            T.StructField("piece", T.StringType()),
+        ]
+    )
+
+    toks = tokenize(df, text_col, id_col)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = toks.withColumn("word_ord", F.row_number().over(w) - 1).select(
+        id_col, "word_ord", "term"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, words, pieces, ords = [], [], [], []
+            for did, word_ord, term in zip(
+                pdf[id_col].values, pdf["word_ord"].values, pdf["term"].values
+            ):
+                enc = memo.get(term)
+                if enc is None:
+                    enc = _encode_word(term, ranks)
+                    memo[term] = enc
+                for j, piece in enumerate(enc):
+                    ids.append(did)
+                    words.append(word_ord)
+                    ords.append(j)
+                    pieces.append(piece)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "word_ord": words,
+                    "piece_ord": ords,
+                    "piece": pieces,
+                }
+            )
+
+    return toks.mapInPandas(run, out_schema)
