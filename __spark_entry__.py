@@ -1031,6 +1031,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bpe.bpe_merges(_docs(spark, sf_dir), n_merges=50)
 
+    def q_stratified_sample(spark, sf_dir):
+        # deterministic training-mix sampling: downweight en, keep de,
+        # drop zh; membership is md5(seed|doc_id)-derived so the DuckDB
+        # twin reproduces the exact row set
+        return textstats.stratified_sample(
+            _docs(spark, sf_dir),
+            fractions={"en": 0.3, "de": 1.0, "fr": 0.5, "es": 0.5},
+            strata_col="lang",
+            seed="mix-v1",
+        ).select("doc_id", "lang", "source")
+
     # ---- text analysis
     def q_lm_quality(spark, sf_dir):
         return textstats.lm_quality_scores(_docs(spark, sf_dir))
@@ -1393,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_scores": q_lm_quality,
         "multimodal_features": q_multimodal_features,
         "bpe_merges": q_bpe_merges,
+        "stratified_sample": q_stratified_sample,
         "token_counts": q_token_counts,
         "language_scores": q_lang,
         "curation_pipeline": q_curation,
@@ -1591,6 +1603,15 @@ s AS (
 SELECT vec_id, cos,
        row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
 FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+        "stratified_sample": """
+SELECT doc_id, lang, source
+FROM documents
+WHERE (CAST(concat('0x', substr(md5(concat('mix-v1|', doc_id::VARCHAR)), 1, 8))
+            AS BIGINT) % 1000000)
+      < CAST((CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 1.0
+                        WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.5
+                        ELSE 0.0 END) * 1000000 AS BIGINT)
 """,
         "lm_quality_scores": """
 WITH tl AS (

@@ -104,6 +104,57 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+SAMPLE_BUCKETS = 1_000_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "v1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the training-mix operator
+    (up/down-weight sources/languages/domains when composing a
+    training corpus).
+
+    NOT ``rand()``-based: membership is a pure function of
+    (seed, doc_id) — md5(seed|doc_id) mod 1e6 < fraction·1e6 — so the
+    sample is reproducible across runs/partitionings/engines (the
+    exact property a dataset card needs), strata can be re-weighted
+    later without reshuffling membership of untouched strata, and the
+    DuckDB oracle reproduces it bit-for-bit (same md5 trick as
+    minhash). One narrow stage: no shuffle, no sort, no state; the
+    fraction map rides the closure as a literal CASE expression.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % SAMPLE_BUCKETS
+    )
+    frac = F.lit(float(default_fraction))
+    for key, f in sorted(fractions.items()):
+        frac = F.when(
+            F.col(strata_col) == F.lit(key), F.lit(float(f))
+        ).otherwise(frac)
+    return df.filter(
+        bucket < (frac * F.lit(SAMPLE_BUCKETS)).cast("long")
+    )
+
+
 def lm_quality_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -221,3 +221,42 @@ def test_lm_quality_scores_hand_computed(spark):
     assert got[0] == (3, round(math.log(0.5) / 3, 6))
     assert got[1] == (2, round(math.log(0.5) / 2, 6))
     assert set(got) == {0, 1}
+
+
+def test_stratified_sample_exact_membership(spark):
+    """Membership is a pure function of (seed, doc_id): the Spark
+    result must equal a driver-side md5 recomputation EXACTLY, and be
+    invariant to partitioning."""
+    import hashlib
+
+    from documentindex_spark.functions import textstats
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+    fr = {"en": 0.3, "de": 1.0}
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def member(i, lang):
+        f = fr.get(lang, 0.0)
+        h = int(hashlib.md5(f"s1|{i}".encode()).hexdigest()[:8], 16)
+        return (h % textstats.SAMPLE_BUCKETS) < int(
+            f * textstats.SAMPLE_BUCKETS
+        )
+
+    want = sorted(i for i, lang in rows if member(i, lang))
+    got = sorted(
+        int(r["doc_id"])
+        for r in textstats.stratified_sample(
+            df, fr, strata_col="lang", seed="s1"
+        ).collect()
+    )
+    assert got == want
+    assert all(lang != "fr" for i, lang in rows if i in set(got))
+    got7 = sorted(
+        int(r["doc_id"])
+        for r in textstats.stratified_sample(
+            df.repartition(7), fr, strata_col="lang", seed="s1"
+        ).collect()
+    )
+    assert got7 == want
+    # de is fraction 1.0: every de row kept
+    assert all(i in set(got) for i, lang in rows if lang == "de")
