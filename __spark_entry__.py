@@ -997,6 +997,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assigned = ivf_assign(emb, cents)
         return ivf_topk(assigned, cents, list(qv), k=10, n_probe=3)
 
+    def q_ann_index_topk(spark, sf_dir):
+        # the PERSISTED IVF index (centroid-partitioned parquet +
+        # sidecar): build into a temp dir, query via partition-pruned
+        # scan; same oracle as ann_ivf_topk (results must be identical)
+        import tempfile
+
+        from documentindex_spark.plans.ann_index import (
+            ann_index_topk,
+            build_ann_index,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 7).head()["embedding"]
+        out = tempfile.mkdtemp(prefix="dix-annidx-")
+        build_ann_index(emb, out, n_centroids=8)
+        return ann_index_topk(spark, out, list(qv), k=10, n_probe=3)
+
     def q_simhash_near_dup(spark, sf_dir):
         return dedup.simhash_near_duplicates(
             _docs(spark, sf_dir), max_hamming=3
@@ -1399,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
+        "ann_index_topk": q_ann_index_topk,
         "simhash_near_dup": q_simhash_near_dup,
         "quality_features": q_quality,
         "lm_quality_scores": q_lm_quality,
@@ -1449,7 +1467,7 @@ def oracle_sql() -> dict[str, str]:
     cos_ab = _ORACLE_COS.format(a="a.embedding", b="b.embedding")
     cos_q = _ORACLE_COS.format(a="e.embedding", b="q.qv")
 
-    return {
+    d = {
         "tf_sample": _ORACLE_TOKS
         + "SELECT doc_id, term, tf FROM tf WHERE doc_id % 50 = 0",
         "doc_lengths": _ORACLE_TOKS
@@ -1873,3 +1891,7 @@ SELECT user_id, session_idx,
 FROM s GROUP BY 1, 2
 """,
     }
+    # the stored IVF index must return the same rows as the in-memory
+    # IVF plan — one oracle serves both entries
+    d["ann_index_topk"] = d["ann_ivf_topk"]
+    return d

@@ -170,3 +170,55 @@ def test_ivf_kmeans_quantizer_recall(spark, emb, emb_np):
     import numpy as np
 
     assert np.allclose(np.array(a), np.array(b))
+
+
+def test_stored_ann_index_identity_and_pruning(spark, emb, tmp_path):
+    """The persisted IVF index returns rows IDENTICAL to the in-memory
+    ivf_topk over the same quantizer, and its scan is partition-pruned
+    to the probed lists."""
+    from documentindex_spark.operators.ann import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+    from documentindex_spark.plans import ann_index
+
+    out = str(tmp_path / "annidx")
+    ann_index.build_ann_index(emb, out, n_centroids=8)
+    qv = list(emb.filter("vec_id = 7").head()["embedding"])
+
+    stored = ann_index.ann_index_topk(spark, out, qv, k=10, n_probe=3)
+    cents = ivf_centroids(emb, 8)
+    mem = ivf_topk(ivf_assign(emb, cents), cents, qv, k=10, n_probe=3)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, mem.collect())
+    )
+
+    # probe selection is driver-side and matches the relational path
+    probes = ann_index.probe_lists(out, qv, 3)
+    assert len(probes) == 3 and len(set(probes)) == 3
+
+    # partition pruning: the candidate scan reads only probed lists
+    lists = spark.read.parquet(f"{out}/lists")
+    import pyspark.sql.functions as F
+
+    plan = (
+        lists.filter(F.col("centroid_id").isin(probes))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [centroid_id" in plan.replace(
+        "PartitionFilters: [isnotnull(centroid_id", "PartitionFilters: [centroid_id"
+    ), plan
+
+
+def test_stored_ann_index_kmeans_quantizer(spark, emb, tmp_path):
+    from documentindex_spark.plans import ann_index
+
+    out = str(tmp_path / "annidx_km")
+    ann_index.build_ann_index(emb, out, n_centroids=8, quantizer="kmeans")
+    qv = list(emb.filter("vec_id = 7").head()["embedding"])
+    rows = ann_index.ann_index_topk(spark, out, qv, k=10, n_probe=3).collect()
+    assert len(rows) == 10
+    assert [r["rank"] for r in rows] == list(range(1, 11))
