@@ -71,6 +71,34 @@ def build_ann_index(
     return out_dir
 
 
+def append_ann_index(
+    emb_new: DataFrame, out_dir: str
+) -> str:
+    """Append new vectors to a stored IVF index WITHOUT touching the
+    existing lists: the frozen quantizer (sidecar centroids) assigns
+    the batch, and the new rows land in their centroid partitions via
+    parquet append — the ingestion shape for a live vector corpus.
+    (Quantizer drift under heavy append is the standard IVF caveat:
+    rebuild with quantizer='kmeans' when list sizes skew; list row
+    counts are one `groupBy(centroid_id).count()` away.)"""
+    with open(os.path.join(out_dir, "centroids.json")) as f:
+        meta = json.load(f)
+    spark = emb_new.sparkSession
+    cents = spark.createDataFrame(
+        [
+            (c["centroid_id"], c["centroid"])
+            for c in meta["centroids"]
+        ],
+        "centroid_id long, centroid array<double>",
+    )
+    ivf_assign(
+        emb_new, cents, meta["id_col"], meta["vec_col"]
+    ).write.mode("append").partitionBy("centroid_id").parquet(
+        os.path.join(out_dir, "lists")
+    )
+    return out_dir
+
+
 def _round6_half_up(x: np.ndarray) -> np.ndarray:
     return np.trunc(x * 1e6 + np.copysign(0.5, x)) / 1e6
 

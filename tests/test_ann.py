@@ -222,3 +222,27 @@ def test_stored_ann_index_kmeans_quantizer(spark, emb, tmp_path):
     rows = ann_index.ann_index_topk(spark, out, qv, k=10, n_probe=3).collect()
     assert len(rows) == 10
     assert [r["rank"] for r in rows] == list(range(1, 11))
+
+
+def test_stored_ann_index_append(spark, emb, tmp_path):
+    """Appending a batch with the frozen quantizer must equal building
+    from the union corpus (sampled quantizer + id-ordered centroids ⇒
+    same centroids either way when the base holds the low ids)."""
+    from documentindex_spark.plans import ann_index
+
+    base = emb.filter("vec_id < 150")
+    rest = emb.filter("vec_id >= 150")
+    inc = str(tmp_path / "inc")
+    ann_index.build_ann_index(base, inc, n_centroids=8)
+    ann_index.append_ann_index(rest, inc)
+
+    full = str(tmp_path / "full")
+    ann_index.build_ann_index(emb, full, n_centroids=8)
+
+    qv = list(emb.filter("vec_id = 7").head()["embedding"])
+    a = sorted(map(tuple, ann_index.ann_index_topk(spark, inc, qv, 10, 3).collect()))
+    b = sorted(map(tuple, ann_index.ann_index_topk(spark, full, qv, 10, 3).collect()))
+    assert a == b
+    # every vector present exactly once after the append
+    n = spark.read.parquet(f"{inc}/lists").count()
+    assert n == emb.count()
