@@ -1014,6 +1014,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_ann_index(emb, out, n_centroids=8)
         return ann_index_topk(spark, out, list(qv), k=10, n_probe=3)
 
+    def q_fuzzy_terms(spark, sf_dir):
+        # SymSpell deletion-neighborhood candidates + levenshtein
+        # verify; the oracle is the labeled-quadratic cross join
+        from documentindex_spark.operators.fuzzy import (
+            fuzzy_term_matches,
+            vocabulary,
+        )
+
+        vocab = vocabulary(_docs(spark, sf_dir))
+        return fuzzy_term_matches(
+            vocab, ["data", "merg", "window", "sorrt", "the"]
+        ).select(
+            "query_term",
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+
     def q_simhash_near_dup(spark, sf_dir):
         return dedup.simhash_near_duplicates(
             _docs(spark, sf_dir), max_hamming=3
@@ -1417,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "ann_index_topk": q_ann_index_topk,
+        "fuzzy_term_match": q_fuzzy_terms,
         "simhash_near_dup": q_simhash_near_dup,
         "quality_features": q_quality,
         "lm_quality_scores": q_lm_quality,
@@ -1621,6 +1640,25 @@ s AS (
 SELECT vec_id, cos,
        row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
 FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+        "fuzzy_term_match": """
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+vocab AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM (SELECT doc_id, unnest(toks) AS term FROM tl)
+    GROUP BY term
+),
+q(query_term) AS (
+    VALUES ('data'), ('merg'), ('window'), ('sorrt'), ('the')
+)
+SELECT query_term, term, df, levenshtein(query_term, term)::BIGINT AS dist
+FROM vocab CROSS JOIN q
+WHERE levenshtein(query_term, term) <= 1
 """,
         "stratified_sample": """
 SELECT doc_id, lang, source
