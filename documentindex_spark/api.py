@@ -149,6 +149,50 @@ class Engine:
             self.spark, self._postings, {0: query}, k=k, band_size=band
         ).drop("query_id")
 
+    def correct_query(self, query: str) -> str:
+        """Typo-tolerant query rewrite: out-of-vocabulary query terms
+        are replaced by their best edit-distance-1 vocabulary match
+        (dist ASC, df DESC, term ASC — deterministic); in-vocabulary
+        terms and unmatchable terms pass through unchanged.
+
+        The reference's LLM scorer absorbs typos implicitly
+        (searcher.py:167-247); a lexical engine needs this explicit
+        operator (operators/fuzzy.py — SymSpell candidates +
+        levenshtein residual). Cost model: the in-vocab check is a
+        term-pushdown lookup; the fuzzy pass scans the (term, df)
+        columns of the whole index ONCE — a correction is a
+        dictionary scan by nature, and the scan is column-pruned and
+        candidates-only (never vocab × query)."""
+        from .operators.fuzzy import fuzzy_term_matches
+
+        qts = query_terms(query)
+        if not qts:
+            return query
+        vocab = self._postings.groupBy("term").agg(F.max("df").alias("df"))
+        present = {
+            r["term"]
+            for r in vocab.filter(F.col("term").isin(qts))
+            .select("term")
+            .collect()
+        }
+        oov = [t for t in qts if t not in present]
+        if not oov:
+            return query
+        best: dict[str, str] = {}
+        for r in (
+            fuzzy_term_matches(vocab, oov)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .collect()
+        ):
+            best.setdefault(r["query_term"], r["term"])
+        return " ".join(best.get(t, t) for t in qts)
+
+    def search_corrected(
+        self, query: str, k: int = TOPK_DEFAULT
+    ) -> DataFrame:
+        """search() over the typo-corrected query."""
+        return self.search(self.correct_query(query), k=k)
+
     def search_serve(self, query: str, k: int = TOPK_DEFAULT):
         """Low-latency driver-side top-k → [(doc_id, score)]."""
         return bmw_serve(self._postings, query, k=k)

@@ -166,3 +166,25 @@ def test_engine_close_releases_executor_memory(spark, tmp_path_factory):
     eng.close()
     assert jsc.getPersistentRDDs().size() == before + 1  # files cache only
     files.unpersist()
+
+
+def test_correct_query_and_search(engine):
+    """OOV terms rewrite to their best distance-1 vocabulary match;
+    in-vocab and unmatchable terms pass through; corrected search
+    equals searching the corrected string."""
+    # pick a real vocab term from the index and misspell it by one char
+    row = (
+        engine._postings.select("term")
+        .filter("length(term) >= 5")
+        .orderBy("term")
+        .head()
+    )
+    term = row["term"]
+    typo = term[:-1] + ("x" if term[-1] != "x" else "y") + term[-1]  # insertion
+    corrected = engine.correct_query(typo)
+    assert corrected == term
+    assert engine.correct_query(term) == term  # in-vocab: untouched
+    assert engine.correct_query("zzqqzzqq") == "zzqqzzqq"  # no match
+    a = sorted(map(tuple, engine.search_corrected(typo, k=5).collect()))
+    b = sorted(map(tuple, engine.search(term, k=5).collect()))
+    assert a == b and len(a) > 0
