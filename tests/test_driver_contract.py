@@ -48,6 +48,36 @@ def test_scalar_columns_pass():
     assert len(out) == 2
 
 
+# The grading driver runs only the FIRST 50 queries() entries (round-3
+# verdict #1: four green entries silently fell off the graded set).
+# These constants are the curated layout; change them deliberately and
+# update README.md / ROUND4.md counts in the same commit.
+GRADED_CAP = 50
+EXPECTED_TOTAL = 54
+
+
+def test_gate_layout_full_oracle_first():
+    """Zone layout: every key with an oracle_sql() twin precedes every
+    key without one is NOT required — but the first GRADED_CAP keys
+    must ALL have full-oracle twins, and every rows-only key must sit
+    past the cap. Also pins the documented entry count."""
+    import __spark_entry__ as entrymod
+
+    qkeys = list(entrymod.queries().keys())
+    okeys = set(entrymod.oracle_sql().keys())
+    assert len(qkeys) == EXPECTED_TOTAL, (
+        f"queries() has {len(qkeys)} entries; update EXPECTED_TOTAL and "
+        "the README/ROUND entry-count lines together"
+    )
+    assert len(qkeys) == len(set(qkeys))
+    graded = qkeys[:GRADED_CAP]
+    missing = [k for k in graded if k not in okeys]
+    assert not missing, f"graded slots without an oracle twin: {missing}"
+    rows_only = [k for k in qkeys if k not in okeys]
+    late = [k for k in rows_only if qkeys.index(k) < GRADED_CAP]
+    assert not late, f"rows-only entries inside the graded 50: {late}"
+
+
 def test_all_gate_entries_are_scalar_shaped(spark):
     """Every queries() entry must produce a flat (non-array, non-map,
     non-struct) schema — checked statically from the analyzed plan at
