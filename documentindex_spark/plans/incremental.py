@@ -50,6 +50,61 @@ def append_documents(
     out_dir = built.out_dir
     man = Manifest.load(out_dir)
     docs_path = os.path.join(out_dir, "docs")
+    tf_path = os.path.join(out_dir, "tf")
+
+    # ---- replay idempotence (round-3 advice, medium) ---------------
+    # foreachBatch redelivers a batch if the process dies after the
+    # append but before the streaming checkpoint commits. Three crash
+    # windows, all covered:
+    #   (a) after docs append, before tf append
+    #   (b) after both appends, before the manifest stamp
+    #   (c) after the stamp, before build_index finishes downstream
+    # (c): the docs/tf stages already carry THIS input_id's
+    # fingerprints → skip the appends entirely and just resume the
+    # build (downstream fingerprints chain from fp_tf, so incomplete
+    # stages recompute). (a)/(b): the write-ahead `_pending_append`
+    # record below lists the part files that existed BEFORE the
+    # appends; on retry, files not in that list are orphans from the
+    # crashed attempt and are removed before re-appending.
+    fp_docs = stage_fingerprint("docs", "", input_id)
+    fp_tf = stage_fingerprint("tf", fp_docs, input_id)
+    if man.is_complete("docs", fp_docs) and man.is_complete("tf", fp_tf):
+        return build_index(
+            spark,
+            spark.read.parquet(docs_path),
+            out_dir,
+            input_id=input_id,
+            text_col=text_col,
+            **build_kwargs,
+        )
+
+    import shutil
+
+    pend = man.stages.get("_pending_append")
+    if pend is not None:
+        for sub, keep in (("docs", pend["docs_files"]),
+                          ("tf", pend["tf_files"])):
+            p = os.path.join(out_dir, sub)
+            if not os.path.exists(p):
+                continue
+            keep_set = set(keep)
+            for fn in os.listdir(p):
+                if fn not in keep_set:
+                    orphan = os.path.join(p, fn)
+                    if os.path.isdir(orphan):
+                        shutil.rmtree(orphan)
+                    else:
+                        os.remove(orphan)
+    man.stages["_pending_append"] = {
+        "input_id": input_id,
+        "docs_files": sorted(os.listdir(docs_path)),
+        "tf_files": (
+            sorted(os.listdir(tf_path)) if os.path.exists(tf_path) else []
+        ),
+    }
+    man.save()
+    # ----------------------------------------------------------------
+
     old_docs = spark.read.parquet(docs_path)
     base_n = old_docs.count()
 
@@ -93,15 +148,14 @@ def append_documents(
     # 1. append the new docs + their TF rows (tokenizes ONLY new docs)
     t0 = time.time()
     new_aligned.write.mode("append").parquet(docs_path)
-    tf_path = os.path.join(out_dir, "tf")
     term_frequencies_colocated(new_aligned, text_col).write.mode(
         "append"
     ).parquet(tf_path)
     tokenize_ms = (time.time() - t0) * 1000
 
     # 2. stamp docs+tf stages as complete under the NEW fingerprints
-    fp_docs = stage_fingerprint("docs", "", input_id)
-    fp_tf = stage_fingerprint("tf", fp_docs, input_id)
+    # (fp_docs/fp_tf computed above) and clear the write-ahead record
+    # in the same atomic manifest save
     n_total = spark.read.parquet(docs_path).count()
     man.stages["docs"] = {"fingerprint": fp_docs, "status": "complete",
                           "rows": n_total, "appended": True}
@@ -114,6 +168,7 @@ def append_documents(
     }
     # dl + downstream must rebuild (global stats changed)
     man.stages.pop("postings", None)
+    man.stages.pop("_pending_append", None)
     man.save()
     for stale in ("dl", "doc_map", "postings"):
         p = os.path.join(out_dir, stale)

@@ -15,9 +15,13 @@ append is a multi-stage batch job with its own checkpointed stages,
 and Spark's contract for foreachBatch is precisely "run an arbitrary
 batch action per micro-batch with replay-safe batch ids". The
 streaming checkpoint makes redelivery possible after a crash
-mid-batch; append idempotence is delegated to the build manifest
-(stage fingerprints carry the input_id, so a replayed batch with the
-same id resumes rather than double-appends).
+mid-batch; append idempotence lives in ``append_documents`` itself: a
+fully-applied batch is detected by its input_id-derived stage
+fingerprints (replay resumes the build instead of re-appending), and
+a crash mid-append is rolled back via the manifest's write-ahead
+``_pending_append`` part-file list (orphans from the dead attempt are
+removed before the retry re-appends). Both paths are exercised in
+tests/test_streaming_ingest.py.
 
 Reference analog: none (the reference re-reads the corpus per query,
 /root/reference/src/documentindex/searcher.py:81); survey §2.9 names

@@ -68,3 +68,77 @@ def test_stream_ingest_equals_batch_build(spark, tmp_path):
     build_index(spark, all120, full_dir, input_id="full@120",
                 bucket_groups=1)
     assert _index_content(spark, idx_dir) == _index_content(spark, full_dir)
+
+
+def _split_corpus(spark, n=60, base=40):
+    from documentindex_spark.corpus import generate_repo_files
+    from documentindex_spark.sources.registry import with_doc_ids
+
+    alln = with_doc_ids(generate_repo_files(spark, n)).cache()
+    return (
+        alln,
+        alln.filter(f"doc_id < {base}"),
+        alln.filter(f"doc_id >= {base}").drop("doc_id"),
+    )
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch replay (crash after append, before the streaming
+    checkpoint commit) re-runs append_documents with the SAME
+    input_id: the second call must not double-append."""
+    import os
+
+    from documentindex_spark.plans.build_index import BuiltIndex
+    from documentindex_spark.plans.incremental import append_documents
+
+    alln, base, rest = _split_corpus(spark)
+    idx_dir = str(tmp_path / "idx")
+    built = build_index(spark, base, idx_dir, input_id="base",
+                        bucket_groups=1)
+
+    append_documents(spark, built, rest, input_id="stream-batch-0",
+                     bucket_groups=1)
+    first = _index_content(spark, idx_dir)
+    n_docs = spark.read.parquet(os.path.join(idx_dir, "docs")).count()
+
+    # the replay: same batch, same input_id
+    append_documents(spark, BuiltIndex.open(idx_dir), rest,
+                     input_id="stream-batch-0", bucket_groups=1)
+    assert spark.read.parquet(os.path.join(idx_dir, "docs")).count() == n_docs
+    assert _index_content(spark, idx_dir) == first
+
+
+def test_replay_after_crash_mid_append(spark, tmp_path, monkeypatch):
+    """Crash window (a): process dies after the docs append but before
+    the tf append. The retry must remove the orphan docs part files
+    (write-ahead `_pending_append` record) and converge to the same
+    index a from-scratch batch build produces."""
+    from documentindex_spark.plans import incremental as inc
+    from documentindex_spark.plans.build_index import BuiltIndex
+
+    alln, base, rest = _split_corpus(spark)
+    idx_dir = str(tmp_path / "idx")
+    built = build_index(spark, base, idx_dir, input_id="base",
+                        bucket_groups=1)
+
+    real_tf = inc.term_frequencies_colocated
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash after docs append")
+
+    monkeypatch.setattr(inc, "term_frequencies_colocated", _boom)
+    try:
+        inc.append_documents(spark, built, rest, input_id="stream-batch-0",
+                             bucket_groups=1)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(inc, "term_frequencies_colocated", real_tf)
+
+    # retry with the same input_id (what foreachBatch replay does)
+    inc.append_documents(spark, BuiltIndex.open(idx_dir), rest,
+                         input_id="stream-batch-0", bucket_groups=1)
+
+    full_dir = str(tmp_path / "full")
+    build_index(spark, alln, full_dir, input_id="full", bucket_groups=1)
+    assert _index_content(spark, idx_dir) == _index_content(spark, full_dir)
