@@ -157,22 +157,29 @@ class Engine:
 
         The reference's LLM scorer absorbs typos implicitly
         (searcher.py:167-247); a lexical engine needs this explicit
-        operator (operators/fuzzy.py — SymSpell candidates +
-        levenshtein residual). Cost model: the in-vocab check is a
-        term-pushdown lookup; the fuzzy pass scans the (term, df)
-        columns of the whole index ONCE — a correction is a
-        dictionary scan by nature, and the scan is column-pruned and
-        candidates-only (never vocab × query)."""
-        from .operators.fuzzy import fuzzy_term_matches
+        operator. Cost model (round-3 verdict #4 + advice): the
+        in-vocab probe pushes the bucket partition predicate exactly
+        like the bmw paths, so it touches only the query terms'
+        bucket partitions; the fuzzy pass is a broadcast join against
+        the STORED deletion-variant sidecar (plans/fuzzy_table.py),
+        partition-pruned to the OOV terms' first characters — the
+        vocabulary Generate runs once at sidecar-build time, never
+        per query."""
+        from .plans.fuzzy_table import fuzzy_matches_stored
 
         qts = query_terms(query)
         if not qts:
             return query
-        vocab = self._postings.groupBy("term").agg(F.max("df").alias("df"))
+        from .operators.postings import term_bucket
+
+        buckets = sorted({term_bucket(t) for t in qts})
         present = {
             r["term"]
-            for r in vocab.filter(F.col("term").isin(qts))
+            for r in self._postings.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(qts)
+            )
             .select("term")
+            .distinct()
             .collect()
         }
         oov = [t for t in qts if t not in present]
@@ -180,12 +187,31 @@ class Engine:
             return query
         best: dict[str, str] = {}
         for r in (
-            fuzzy_term_matches(vocab, oov)
+            fuzzy_matches_stored(self.spark, self._fuzzy_table(), oov)
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
             .collect()
         ):
             best.setdefault(r["query_term"], r["term"])
         return " ".join(best.get(t, t) for t in qts)
+
+    def _fuzzy_table(self) -> str:
+        """Path to the stored deletion-variant sidecar; (re)built when
+        missing or stale (n_docs / build version mismatch — e.g.
+        after an incremental append)."""
+        from . import constants as C
+        from .plans.fuzzy_table import build_fuzzy_table, fuzzy_meta
+
+        import os
+
+        path = os.path.join(self.built.out_dir, "fuzzy")
+        meta = fuzzy_meta(path)
+        if (
+            meta is None
+            or meta.get("n_docs") != self.built.n_docs
+            or meta.get("engine_build_version") != C.ENGINE_BUILD_VERSION
+        ):
+            build_fuzzy_table(self._postings, path, n_docs=self.built.n_docs)
+        return path
 
     def search_corrected(
         self, query: str, k: int = TOPK_DEFAULT

@@ -40,29 +40,13 @@ def vocabulary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def fuzzy_term_matches(
-    vocab: DataFrame, query_terms: list[str], max_dist: int = 1
-) -> DataFrame:
-    """(query_term, term, df, dist) for every vocab term within
-    ``max_dist`` (≤1) edits of a query term. Deterministic result set.
-
-    Deletion neighborhoods cover distance ≤1 completely (insertion,
-    deletion, substitution all share a variant); the levenshtein
-    residual then rejects the distance-2 pairs the intersection lets
-    through. For max_dist > 1 the neighborhood depth would need to
-    grow with it, so this implementation pins max_dist ≤ 1.
-    """
-    if max_dist > 1:
-        raise ValueError("deletion neighborhood implemented for max_dist <= 1")
-    spark = vocab.sparkSession
-    qrows = [
-        (qt, v)
-        for qt in sorted(set(query_terms))
-        for v in set(_deletion_variants(qt))
-    ]
-    qvar = spark.createDataFrame(qrows, "query_term string, variant string")
-    # vocab side: one Generate — i == len(term) keeps the term itself
-    vvar = vocab.select(
+def vocab_variants(vocab: DataFrame) -> DataFrame:
+    """(term, df, variant): each vocab term plus its single-deletion
+    neighborhood — ONE Generate over the vocabulary. Shared by the
+    per-query path below and the build-time stored table
+    (plans/fuzzy_table.py), which persists this frame so queries never
+    re-run the Generate."""
+    return vocab.select(
         "term",
         "df",
         F.explode(F.sequence(F.lit(0), F.length("term"))).alias("i"),
@@ -78,14 +62,48 @@ def fuzzy_term_matches(
             )
         ).alias("variant"),
     )
-    cand = (
-        vvar.join(F.broadcast(qvar), "variant")
-        .select("query_term", "term", "df")
+
+
+def query_variants(spark, query_terms: list[str]) -> DataFrame:
+    """Driver-built (query_term, variant) table — a few dozen rows,
+    always broadcast."""
+    qrows = [
+        (qt, v)
+        for qt in sorted(set(query_terms))
+        for v in sorted(set(_deletion_variants(qt)))
+    ]
+    return spark.createDataFrame(qrows, "query_term string, variant string")
+
+
+def _verify_candidates(cand: DataFrame, max_dist: int) -> DataFrame:
+    return (
+        cand.select("query_term", "term", "df")
         .distinct()
+        .select(
+            "query_term",
+            "term",
+            "df",
+            F.levenshtein("query_term", "term").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
     )
-    return cand.select(
-        "query_term",
-        "term",
-        "df",
-        F.levenshtein("query_term", "term").alias("dist"),
-    ).filter(F.col("dist") <= max_dist)
+
+
+def fuzzy_term_matches(
+    vocab: DataFrame, query_terms: list[str], max_dist: int = 1
+) -> DataFrame:
+    """(query_term, term, df, dist) for every vocab term within
+    ``max_dist`` (≤1) edits of a query term. Deterministic result set.
+
+    Deletion neighborhoods cover distance ≤1 completely (insertion,
+    deletion, substitution all share a variant); the levenshtein
+    residual then rejects the distance-2 pairs the intersection lets
+    through. For max_dist > 1 the neighborhood depth would need to
+    grow with it, so this implementation pins max_dist ≤ 1.
+    """
+    if max_dist > 1:
+        raise ValueError("deletion neighborhood implemented for max_dist <= 1")
+    qvar = query_variants(vocab.sparkSession, query_terms)
+    # vocab side: one Generate — i == len(term) keeps the term itself
+    cand = vocab_variants(vocab).join(F.broadcast(qvar), "variant")
+    return _verify_candidates(cand, max_dist)

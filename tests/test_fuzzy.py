@@ -62,6 +62,77 @@ def test_distance2_leak_is_filtered(spark):
     assert got == []
 
 
+def test_stored_table_identical_to_inmemory(spark, vocab_df, tmp_path):
+    """The persisted sidecar path must return exactly what the
+    in-memory Generate path returns, its query plan must contain NO
+    Generate (the whole point: the vocabulary explode ran at build
+    time), and the scan must prune on the v1 partition column."""
+    from documentindex_spark.plans import fuzzy_table as ft
+
+    # build from a postings-shaped frame (term, df, any other cols)
+    out = str(tmp_path / "fuzzy")
+    ft.build_fuzzy_table(vocab_df.withColumn("bucket", vocab_df.df * 0), out)
+
+    queries = ["teh", "functoin", "data", "quik", "xyzzy", "fox"]
+    mem = sorted(
+        (r["query_term"], r["term"], int(r["df"]), int(r["dist"]))
+        for r in fuzzy.fuzzy_term_matches(vocab_df, queries).collect()
+    )
+    stored_df = ft.fuzzy_matches_stored(spark, out, queries)
+    got = sorted(
+        (r["query_term"], r["term"], int(r["df"]), int(r["dist"]))
+        for r in stored_df.collect()
+    )
+    assert got == mem and len(got) > 0
+
+    plan = stored_df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no vocab explode at query time
+    formatted = stored_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in formatted
+    # the prune set: variants of a term start with its 1st or 2nd char
+    assert "v1" in formatted
+
+
+def test_engine_correct_query_uses_sidecar(spark, tmp_path):
+    """correct_query builds the sidecar once, reuses it on the next
+    call, and rebuilds when the index stats change underneath it."""
+    import json
+    import os
+
+    from documentindex_spark.api import Engine
+
+    docs = spark.createDataFrame(
+        [(f"r{i}", f"p{i}", "c", "en",
+          "merge sort window data function example text")
+         for i in range(8)],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    from documentindex_spark.sources.registry import with_doc_ids
+
+    idx = str(tmp_path / "idx")
+    eng = Engine.index(spark, with_doc_ids(docs), idx, input_id="t",
+                       bucket_groups=1)
+    assert eng.correct_query("merg sort") == "merge sort"
+    meta_p = os.path.join(idx, "fuzzy", "_fuzzy_meta.json")
+    assert os.path.exists(meta_p)
+    mtime = os.path.getmtime(meta_p)
+    # second OOV correction: reuses the sidecar (meta untouched)
+    assert eng.correct_query("windoww data") == "data window"
+    assert os.path.getmtime(meta_p) == mtime
+    # stale meta (simulated append) → rebuild on next correction
+    meta = json.load(open(meta_p))
+    meta["n_docs"] = -1
+    json.dump(meta, open(meta_p, "w"))
+    assert eng.correct_query("merg sort") == "merge sort"
+    assert json.load(open(meta_p))["n_docs"] == eng.built.n_docs
+    eng.close()
+
+
 def test_teh_the_is_distance_two_documented(vocab_df):
     """lev('teh','the') is 2 (two substitutions) — classic
     transposition needs Damerau; document the contract by asserting
