@@ -954,6 +954,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = load_table(spark, sf_dir, "embeddings")
         return dedup.embedding_near_duplicates(emb, threshold=0.35)
 
+    def q_emb_neardup_lsh(spark, sf_dir):
+        # the 100 TB semantic-dedup path: banded sign-LSH candidates
+        # + cosine verify on candidates only (round-3 verdict #3).
+        # The DuckDB twin replicates the seeded-hyperplane bucketing
+        # with literal coefficients (simhash_near_dup precedent);
+        # recall vs the brute twin is pinned in tests/test_dedup.py.
+        emb = load_table(spark, sf_dir, "embeddings")
+        return dedup.embedding_near_duplicates_lsh(
+            emb, threshold=0.35, dim=64
+        )
+
     def q_minhash_incremental(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
@@ -1451,10 +1462,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "substring_dup_spans": q_substring_dup_spans,
-        "minhash_signatures": q_minhash_sample,
         "minhash_near_dup": q_minhash_near_dup,
         "minhash_incremental_dedup": q_minhash_incremental,
         "embedding_near_dup": q_emb_neardup,
+        "embedding_near_dup_lsh": q_emb_neardup_lsh,
         "ann_brute_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf,
         "ann_index_topk": q_ann_index_topk,
@@ -1487,8 +1498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_counts": q_events_windowed,
         "events_sessionize": q_events_sessions,
         # -------- zone 2: parked full-oracle (redundant with a graded
-        # entry; simhash_near_dup recomputes the signatures) --------
+        # entry: simhash_near_dup / minhash_near_dup recompute the
+        # signatures their *_signatures twins expose) --------
         "simhash_signatures": q_simhash,
+        "minhash_signatures": q_minhash_sample,
         # -------- zone 3: rows-only by design (pytest-pinned) --------
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -1512,6 +1525,26 @@ def oracle_sql() -> dict[str, str]:
     )
     cos_ab = _ORACLE_COS.format(a="a.embedding", b="b.embedding")
     cos_q = _ORACLE_COS.format(a="e.embedding", b="q.qv")
+
+    # Banded sign-LSH replica for embedding_near_dup_lsh: the SAME
+    # seeded hyperplanes the Spark operator uses (ann._hyperplanes,
+    # seed 42), inlined as double literals; projections as sequential
+    # double sums (numpy matmul pairwise summation differs last-ulp —
+    # accepted boundary risk, documented in ann.lsh_sign_buckets).
+    from documentindex_spark.operators.ann import _hyperplanes
+
+    _planes = _hyperplanes(64, 16)
+    _bucket_terms = []
+    for _j in range(16):
+        _coeffs = ", ".join(repr(float(_planes[_i, _j])) for _i in range(64))
+        _proj = (
+            "list_sum(list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * ([{_coeffs}])[i]))"
+        )
+        _bucket_terms.append(
+            f"(CASE WHEN {_proj} > 0 THEN {1 << _j} ELSE 0 END)"
+        )
+    lsh_bucket_expr = "\n    + ".join(_bucket_terms)
 
     d = {
         "tf_sample": _ORACLE_TOKS
@@ -1625,6 +1658,25 @@ FROM sh WHERE doc_id % 50 = 0 GROUP BY 1
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, {cos_ab} AS cos
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id AND {cos_ab} >= 0.35
+""",
+        "embedding_near_dup_lsh": f"""
+WITH sig AS (
+  SELECT vec_id, ({lsh_bucket_expr}) AS bucket FROM embeddings
+),
+bnd AS (
+  SELECT vec_id, bb.band, (bucket >> (bb.band * 4)) & 15 AS band_key
+  FROM sig, (VALUES (0), (1), (2), (3)) AS bb(band)
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
+  FROM bnd x JOIN bnd y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.vec_id < y.vec_id
+)
+SELECT c.doc_a, c.doc_b, {cos_ab} AS cos
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.doc_a
+JOIN embeddings b ON b.vec_id = c.doc_b
+WHERE {cos_ab} >= 0.35
 """,
         "ann_brute_topk": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),

@@ -142,7 +142,19 @@ def ivf_assign(
     mirror F.round/DuckDB round, and ids are scanned ascending so
     numpy's first-max argmax reproduces the (cos DESC, centroid_id
     ASC) tie-break exactly. Persist the result — it IS the IVF
-    index."""
+    index.
+
+    Residual boundary risk (round-3 advice, acknowledged): the
+    trunc-based HALF_UP rounds the BINARY double while Spark/DuckDB
+    round the shortest-decimal representation, and numpy matmul's
+    pairwise summation can differ from a sequential sum in the last
+    ulp — so a cosine landing within ~1e-16 of a .5×10⁻⁶ rounding
+    boundary could assign differently than the SQL twin on another
+    corpus. Accepted rather than papered over: an exact-recompute
+    fallback for near-tie centroids would put a second pass in the
+    hot path of every build for a hazard the verify suite has never
+    observed; the gate corpus asserts identity, and any future
+    mismatch localizes here."""
     rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
     ids = np.asarray([int(r["centroid_id"]) for r in rows], dtype=np.int64)
     cmat = np.vstack(
@@ -218,12 +230,21 @@ def lsh_sign_buckets(
 ) -> DataFrame:
     """(vec_id, embedding, bucket) — bucket = packed sign bits of the
     seeded hyperplane projections. One Arrow-batched pandas pass;
-    inside, a single (batch × dim) @ (dim × planes) matmul."""
+    inside, a single (batch × dim) @ (dim × planes) matmul.
+
+    Projections run in float64 (inputs are float32): the DuckDB twin
+    of embedding_near_dup_lsh computes the same projections as
+    sequential double sums, and float32 matmul error (~1e-6 relative)
+    made sign flips near zero plausible; in float64 the residual
+    divergence is matmul's pairwise-vs-sequential summation order,
+    last-ulp only (~1e-16 relative) — a projection would have to land
+    within ~1e-15 of zero to flip. Same accepted boundary-risk class
+    as ivf_assign's rounding note."""
     planes = _hyperplanes(dim, n_planes)
 
     @F.pandas_udf(T.LongType())
     def bucket_of(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy())
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
         signs = (m @ planes) > 0
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series(signs.astype(np.int64) @ weights)

@@ -624,6 +624,107 @@ def cosine_sim_col(a: Column, b: Column) -> Column:
 # tools/bench_cosine.py, BENCH/BASELINE.md §7.5.
 
 
+def embedding_lsh_candidates(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded sign-LSH: vectors
+    sharing at least one band of hyperplane sign bits.
+
+    The semantic-dedup mirror of minhash_lsh_candidates: one packed
+    signature per vector (ann.lsh_sign_buckets — a single Arrow-batch
+    matmul), bands unpivoted via ``stack`` with
+    shiftrightunsigned+mask band keys, bucket self-join per band —
+    never an all-pairs comparison. A pair with per-bit sign agreement
+    q survives with prob 1-(1-q^r)^B (r = n_planes/bands): near-dup
+    similarity (cos ≥ 0.9 → q ≥ 0.9) gives ≥98% recall per pair at
+    the 16/4 default, measured against the brute ground truth in
+    tests/test_dedup.py.
+
+    ``max_bucket_size``: the same B² skew guard as minhash/simhash —
+    a degenerate bucket of B identical embeddings yields B² pairs;
+    buckets over the cap are dropped from candidate generation (run
+    exact/minhash dedup first for byte-identical mass; capped docs
+    still surface through their other bands)."""
+    from .ann import lsh_sign_buckets
+
+    if n_planes % bands:
+        raise ValueError("n_planes must divide evenly into bands")
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    bucketed = lsh_sign_buckets(
+        emb, dim, n_planes, id_col=id_col, vec_col=vec_col
+    )
+    stack_args = ", ".join(
+        f"{b}, shiftrightunsigned(bucket, {b * r}) & {mask}"
+        for b in range(bands)
+    )
+    bandtab = bucketed.select(
+        F.col(id_col).alias("doc"),
+        F.expr(f"stack({bands}, {stack_args}) as (band, band_key)"),
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "band_key")
+        bandtab = (
+            bandtab.withColumn("_bsize", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsize") <= max_bucket_size)
+            .drop("_bsize")
+        )
+    a = bandtab.select(F.col("doc").alias("doc_a"), "band", "band_key")
+    b_ = bandtab.select(F.col("doc").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b_, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def embedding_near_duplicates_lsh(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, cos ≥ threshold) — the 100 TB semantic-dedup
+    path (round-3 verdict #3): banded sign-LSH candidates, then exact
+    cosine verification computed ONLY for candidate pairs, mirroring
+    minhash_near_duplicates' candidates-only contract.
+    ``embedding_near_duplicates`` (brute O(n²) crossJoin) stays as the
+    labeled ground-truth twin; recall vs brute at near-dup
+    similarities is pinned in tests/test_dedup.py.
+
+    Verification cosine is the JVM ``cosine_sim_col`` lambda — one
+    dot per row, the measured winner for this shape (module note
+    above, BENCH/BASELINE.md §7.5)."""
+    cand = embedding_lsh_candidates(
+        emb, dim, n_planes, bands, id_col, vec_col, max_bucket_size
+    )
+    va = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine_sim_col(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float,

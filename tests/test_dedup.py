@@ -182,6 +182,79 @@ def test_embedding_near_duplicates(spark):
     assert got == {(0, 1)}
 
 
+def _planted_embeddings(spark, n_base=40, n_dups=25, dim=16):
+    """Seeded base vectors + near-copies (small perturbation →
+    cos ≥ ~0.99): the regime semantic dedup exists for."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n_base, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n_base)]
+    planted = []
+    for j in range(n_dups):
+        src = j % n_base
+        noisy = base[src] + 0.02 * rng.standard_normal(dim)
+        rows.append((1000 + j, [float(x) for x in noisy]))
+        planted.append((src, 1000 + j))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    return emb, planted
+
+
+def test_embedding_lsh_verified_subset_of_brute(spark):
+    """Every pair the LSH path emits must appear in the brute ground
+    truth with the IDENTICAL rounded cosine (the verify stage is
+    exact — LSH only affects candidate recall, never precision)."""
+    emb, _ = _planted_embeddings(spark)
+    thr = 0.9
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["cos"]
+        for r in dedup.embedding_near_duplicates(emb, thr).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["cos"]
+        for r in dedup.embedding_near_duplicates_lsh(
+            emb, thr, dim=16
+        ).collect()
+    }
+    assert set(lsh) <= set(brute)
+    for pair, cos in lsh.items():
+        assert cos == brute[pair]
+    # recall at near-dup similarity: ≥ 90% of planted pairs (16/4
+    # banding gives ~98% per-pair survival at q ≥ 0.9; seeded data
+    # makes the actual value deterministic)
+    assert len(lsh) >= 0.9 * len(brute) > 0
+
+
+def test_embedding_lsh_bucket_size_guard(spark):
+    """100 identical embeddings share every band bucket → B² pair
+    mass; the cap drops those buckets while distinct-vector pairs
+    from small buckets survive."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(16)
+    w = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in v]) for i in range(100)]
+    rows += [(200, [float(x) for x in w]),
+             (201, [float(x) for x in w * 1.001])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.embedding_lsh_candidates(emb, dim=16).collect()
+    }
+    assert {(a, b) for a in range(100) for b in range(a + 1, 100)} <= uncapped
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.embedding_lsh_candidates(
+            emb, dim=16, max_bucket_size=10
+        ).collect()
+    }
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    assert (200, 201) in capped and (200, 201) in uncapped
+
+
 def test_minhash_incremental_batch_vs_corpus(docs_df):
     """Incoming-batch dedup: candidates only cross the corpus×new
     boundary; result equals the cross-pair slice of the full
