@@ -57,6 +57,64 @@ from documentindex_spark.streaming import events as ev  # noqa: E402
 # ---------------------------------------------------------------- helpers
 
 # The frozen analyzer, as one DuckDB CTE prefix reused by every oracle.
+# Literal merge list for the bpe_apply_literal gate entry: applied by
+# the real pandas-UDF encoder on the Spark side and by a rank-ordered
+# replace chain in DuckDB. Rank order is load-bearing (each merge's
+# symbols exist only via earlier merges), and single-pass-per-rank is
+# equivalent to the encoder's best-rank-first loop because a later
+# merge can never create an occurrence of an earlier-rank pair (its
+# output symbol postdates them).
+_BPE_LITERAL_MERGES = [
+    ("e", "</w>"),
+    ("m", "e"),
+    ("me", "r"),
+    ("mer", "g"),
+    ("merg", "e</w>"),
+    ("s", "o"),
+    ("so", "r"),
+    ("sor", "t"),
+    ("d", "a"),
+    ("da", "t"),
+    ("dat", "a"),
+]
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB twin of apply_bpe over _BPE_LITERAL_MERGES: each word
+    becomes '|c1||c2||...||</w>|' (double separators so adjacent
+    matches never share a boundary character), then one replace() per
+    merge in rank order, then split back to (word_ord, piece_ord,
+    piece) rows."""
+    init = (
+        "'|' || array_to_string(list_append("
+        "regexp_split_to_array(term, ''), '</w>'), '||') || '|'"
+    )
+    expr = init
+    for left, right in _BPE_LITERAL_MERGES:
+        expr = (
+            f"replace({expr}, '|{left}||{right}|', '|{left}{right}|')"
+        )
+    return f"""
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+    FROM documents WHERE doc_id % 50 = 0
+),
+words AS (
+    SELECT doc_id, (i - 1)::INT AS word_ord, toks[i] AS term
+    FROM tl, unnest(range(1, len(toks) + 1)) AS r(i)
+),
+enc AS (
+    SELECT doc_id, word_ord,
+           string_split(trim({expr}, '|'), '||') AS pieces
+    FROM words
+)
+SELECT doc_id, word_ord, (i - 1)::INT AS piece_ord, pieces[i] AS piece
+FROM enc, unnest(range(1, len(pieces) + 1)) AS p(i)
+"""
+
+
 _ORACLE_TOKS = """
 WITH toks AS (
     SELECT doc_id, t.term AS term
@@ -1093,6 +1151,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bpe.bpe_merges(_docs(spark, sf_dir), n_merges=50)
 
+    # ---- BPE, the SQL-expressible split (round-3 verdict #6): the
+    # corpus word-frequency table is one agg (full oracle), and
+    # apply_bpe over a LITERAL merge list is a rank-ordered replace
+    # chain both engines can run — only the iterative *induction*
+    # stays rows-only above.
+    def q_bpe_word_freqs(spark, sf_dir):
+        from documentindex_spark.functions import bpe
+
+        return bpe.word_frequencies(_docs(spark, sf_dir))
+
+    def q_bpe_apply_literal(spark, sf_dir):
+        from documentindex_spark.functions import bpe
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0)
+        return bpe.apply_bpe(docs, _BPE_LITERAL_MERGES)
+
     def q_stratified_sample(spark, sf_dir):
         # deterministic training-mix sampling: downweight en, keep de,
         # drop zh; membership is md5(seed|doc_id)-derived so the DuckDB
@@ -1473,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "quality_features": q_quality,
         "lm_quality_scores": q_lm_quality,
+        "bpe_word_freqs": q_bpe_word_freqs,
+        "bpe_apply_literal": q_bpe_apply_literal,
         "stratified_sample": q_stratified_sample,
         "token_counts": q_token_counts,
         "language_scores": q_lang,
@@ -1484,9 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossref_resolved": q_crossref_resolved,
         "metadata_extracted": q_metadata,
         "provenance_multi_topic": q_provenance_multi,
-        "phrase_topk_merge_sort": q_phrase_topk,
         "phrase_topk_indexed": q_phrase_indexed,
-        "proximity_merge_sort": q_proximity,
         "proximity_indexed": q_proximity_indexed,
         "json_metadata": q_json_metadata,
         "evidence_excerpts": q_evidence_excerpts,
@@ -1502,6 +1576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # signatures their *_signatures twins expose) --------
         "simhash_signatures": q_simhash,
         "minhash_signatures": q_minhash_sample,
+        # (phrase/proximity tokenize paths share their indexed twins'
+        # oracles — the indexed forms are the graded scale paths)
+        "phrase_topk_merge_sort": q_phrase_topk,
+        "proximity_merge_sort": q_proximity,
         # -------- zone 3: rows-only by design (pytest-pinned) --------
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -1678,6 +1756,10 @@ JOIN embeddings a ON a.vec_id = c.doc_a
 JOIN embeddings b ON b.vec_id = c.doc_b
 WHERE {cos_ab} >= 0.35
 """,
+        "bpe_word_freqs": _ORACLE_TOKS
+        + "SELECT term AS word, count(*)::BIGINT AS freq "
+          "FROM toks GROUP BY 1",
+        "bpe_apply_literal": _bpe_oracle_sql(),
         "ann_brute_topk": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
 s AS (
