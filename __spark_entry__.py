@@ -1167,6 +1167,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0)
         return bpe.apply_bpe(docs, _BPE_LITERAL_MERGES)
 
+    # ---- deterministic extractive summaries (reference TreeNode
+    # .summary, LLM-filled — this is the deterministic analog: the
+    # top-corpus-idf sentence; doc granularity here because node
+    # spans require the chunker, which pytest pins)
+    def q_node_summaries(spark, sf_dir):
+        from documentindex_spark.operators.summarize import (
+            corpus_idf,
+            extractive_summaries,
+        )
+
+        docs = _docs(spark, sf_dir)
+        idf = corpus_idf(docs, text_col="text")
+        return extractive_summaries(
+            docs.select("doc_id", "text"), idf, text_col="text"
+        ).select(
+            "doc_id",
+            "summary",
+            "score",
+            F.col("sent_idx").cast("int").alias("sent_idx"),
+        )
+
     def q_stratified_sample(spark, sf_dir):
         # deterministic training-mix sampling: downweight en, keep de,
         # drop zh; membership is md5(seed|doc_id)-derived so the DuckDB
@@ -1526,7 +1547,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "dfreq_hot": q_dfreq_hot,
         "bm25_topk_merge_sort": _bm25_topk("merge sort", 10),
-        "bm25_topk_single_hot": _bm25_topk("the", 10),
         "bm25_topk_three_terms": _bm25_topk("spark window filter", 10),
         "bm25_threshold_all": q_bm25_threshold,
         "bmw_threshold_all": _bmw_threshold_all,
@@ -1549,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_scores": q_lm_quality,
         "bpe_word_freqs": q_bpe_word_freqs,
         "bpe_apply_literal": q_bpe_apply_literal,
+        "node_summaries": q_node_summaries,
         "stratified_sample": q_stratified_sample,
         "token_counts": q_token_counts,
         "language_scores": q_lang,
@@ -1580,6 +1601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracles — the indexed forms are the graded scale paths)
         "phrase_topk_merge_sort": q_phrase_topk,
         "proximity_merge_sort": q_proximity,
+        # (bm25_topk single-term shape: same operator + oracle family
+        # as the graded merge_sort/three_terms twins)
+        "bm25_topk_single_hot": _bm25_topk("the", 10),
         # -------- zone 3: rows-only by design (pytest-pinned) --------
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -1760,6 +1784,51 @@ WHERE {cos_ab} >= 0.35
         + "SELECT term AS word, count(*)::BIGINT AS freq "
           "FROM toks GROUP BY 1",
         "bpe_apply_literal": _bpe_oracle_sql(),
+        "node_summaries": r"""
+WITH sarrs AS (
+    SELECT doc_id,
+           list_filter(
+             string_split(
+               regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g'),
+               chr(30)),
+             s -> trim(s) <> '') AS sarr
+    FROM documents
+),
+sent AS (
+    SELECT doc_id, (i - 1)::INT AS sent_idx, sarr[i] AS sentence
+    FROM sarrs, unnest(range(1, len(sarr) + 1)) AS r(i)
+),
+stok AS (
+    SELECT DISTINCT doc_id, sent_idx, sentence, t.term AS term
+    FROM sent,
+         unnest(regexp_split_to_array(lower(sentence), '[^a-z0-9]+'))
+           AS t(term)
+    WHERE t.term <> ''
+),
+ctoks AS (
+    SELECT doc_id, t.term AS term
+    FROM documents,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+    WHERE t.term <> ''
+),
+dfreq AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ctoks GROUP BY 1
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, sent_idx, sentence,
+           round(list_sum(
+             list(ln(1.0 + (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                  ORDER BY stok.term)), 6) AS score
+    FROM stok JOIN dfreq USING (term) CROSS JOIN n
+    GROUP BY 1, 2, 3
+)
+SELECT doc_id, sentence AS summary, score, sent_idx
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, sent_idx ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+""",
         "ann_brute_topk": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
 s AS (

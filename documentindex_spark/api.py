@@ -432,13 +432,21 @@ class Engine:
             }
         return out
 
-    def nodes(self, detect_types: bool = False) -> DataFrame:
+    def nodes(
+        self, detect_types: bool = False, summaries: bool = False
+    ) -> DataFrame:
         """Hierarchical TreeNode table for the corpus.
 
         ``detect_types=True``: run the doc-type detector first and
         section with the type-specific pattern bank (the reference
         detects the type, then chunks with that type's patterns —
-        indexer.py pipeline order)."""
+        indexer.py pipeline order).
+
+        ``summaries=True``: add the deterministic extractive
+        ``summary`` column — the node span's top-corpus-idf sentence
+        (operators/summarize.py; the reference fills TreeNode.summary
+        with an LLM, models.py:138-240 — this is the deterministic
+        analog, title fallback for sentence-less nodes)."""
         if detect_types:
             from .functions.scalar import detect_doc_type
 
@@ -448,10 +456,16 @@ class Engine:
                 ),
                 "doc_id",
             )
-            return build_nodes(
+            out = build_nodes(
                 typed, self.text_col, "lang", doc_type_col="doc_type"
             )
-        return build_nodes(self.docs, self.text_col, "lang")
+        else:
+            out = build_nodes(self.docs, self.text_col, "lang")
+        if summaries:
+            from .operators.summarize import extractive_node_summaries
+
+            out = extractive_node_summaries(out, self.docs, self.text_col)
+        return out
 
     def cross_references(self) -> DataFrame:
         """Resolved cross-reference edge table."""
