@@ -66,7 +66,8 @@ class Engine:
 
     def __init__(self, spark: SparkSession, built: BuiltIndex,
                  docs: DataFrame, text_col: str,
-                 cache_capacity: int = 256):
+                 cache_capacity: int = 256,
+                 cache_ttl_seconds: float | None = None):
         self.spark = spark
         self.built = built
         self.docs = docs
@@ -79,8 +80,12 @@ class Engine:
         # index never serves stale hits).
         from collections import OrderedDict
 
-        self._result_cache: "OrderedDict[str, list]" = OrderedDict()
+        # entries are (monotonic_ts, result); ttl None = LRU only
+        self._result_cache: "OrderedDict[str, tuple[float, list]]" = (
+            OrderedDict()
+        )
         self._cache_capacity = cache_capacity
+        self._cache_ttl = cache_ttl_seconds
         self.cache_hits = 0
         self.cache_misses = 0
 
@@ -118,16 +123,18 @@ class Engine:
         """Release executor memory held on this engine's behalf: the
         persisted postings (if ``persist()`` was called), the
         range-partitioned intermediates pinned by dense-id assignment
-        (sources.registry.release_id_caches), and the result cache.
-        Call when DONE with the engine: the index on disk is complete
-        and can be re-``open``-ed, but live queries against an
-        UNcached id-bearing docs frame must not continue past close()
-        (a fresh action would re-plan the id exchange — see
-        release_id_caches)."""
+        UNDER THIS ENGINE'S SCOPE (its out_dir — round-3 advice: a
+        global release could unpin intermediates backing another live
+        engine or an in-flight append, silently reassigning ids on
+        their next action), and the result cache. Pins created by
+        ad-hoc ``with_doc_ids``/``dense_ids`` calls outside the
+        engine's builds belong to their callers —
+        ``release_id_caches()`` with no argument at session teardown
+        releases those."""
         from .sources.registry import release_id_caches
 
         self._postings.unpersist()
-        release_id_caches()
+        release_id_caches(scope=self.built.out_dir)
         self._result_cache.clear()
 
     # ---------------------------------------------------------- query
@@ -243,16 +250,27 @@ class Engine:
         """Cached top-k: [(doc_id, score)]. First call computes (serve
         path when the matched lists are small, distributed otherwise);
         repeats return the memoized result — the reference's search
-        cache semantics (searcher.py:287-342)."""
+        cache semantics (searcher.py:287-342). When the engine was
+        built with ``cache_ttl_seconds``, entries past their age are
+        recomputed on access (reference cache.py:25-37, 286-288:
+        TTL-expiring entries); an immutable batch index needs only
+        LRU, so TTL stays opt-in for the serving tier."""
         import hashlib
+        import time
 
         key = hashlib.sha256(
             f"{self.built.out_dir}|{self.built.n_docs}|{k}|{query}".encode()
         ).hexdigest()
-        if key in self._result_cache:
-            self._result_cache.move_to_end(key)
-            self.cache_hits += 1
-            return self._result_cache[key]
+        hit = self._result_cache.get(key)
+        if hit is not None:
+            ts, res = hit
+            if self._cache_ttl is None or (
+                time.monotonic() - ts
+            ) <= self._cache_ttl:
+                self._result_cache.move_to_end(key)
+                self.cache_hits += 1
+                return res
+            del self._result_cache[key]  # expired
         self.cache_misses += 1
         try:
             res = bmw_serve(self._postings, query, k=k)
@@ -261,7 +279,7 @@ class Engine:
                 (int(r["doc_id"]), float(r["score"]))
                 for r in self.search(query, k).collect()
             ]
-        self._result_cache[key] = res
+        self._result_cache[key] = (time.monotonic(), res)
         if len(self._result_cache) > self._cache_capacity:
             self._result_cache.popitem(last=False)
         return res

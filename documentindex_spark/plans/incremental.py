@@ -138,7 +138,8 @@ def append_documents(
             ),
         )
         order_cols = ["content_sha", "_row_sha"]
-    new_with_ids = dense_ids(new_files, order_cols, "doc_id", offset=base_n)
+    new_with_ids = dense_ids(new_files, order_cols, "doc_id", offset=base_n,
+                             scope=out_dir)
     # align schemas (union corpus)
     for c in old_docs.columns:
         if c not in new_with_ids.columns:

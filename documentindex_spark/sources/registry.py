@@ -58,28 +58,42 @@ def load_repo_files(
 
 
 # range-partitioned intermediates pinned by dense_ids, released via
-# release_id_caches() once results are safely materialized
-_PINNED_RANGES: list[DataFrame] = []
+# release_id_caches() once results are safely materialized. Keyed by
+# an ownership scope (round-3 advice: a process-global flat list let
+# one Engine.close() unpersist pins belonging to ANOTHER live engine
+# or an in-flight append — a later action on an unmaterialized
+# id-bearing frame would re-plan the range exchange and silently
+# reassign ids). None = ad-hoc/unscoped pins.
+_PINNED_RANGES: dict[str | None, list[DataFrame]] = {}
+
+_ALL_SCOPES = object()  # sentinel: release everything (explicit opt-in)
 
 
-def release_id_caches() -> int:
-    """Unpersist every range-partitioned intermediate pinned by
+def release_id_caches(scope=_ALL_SCOPES) -> int:
+    """Unpersist range-partitioned intermediates pinned by
     ``dense_ids`` (round-2 leak: one pinned copy of the key columns
     per id assignment, held for the session's lifetime). Returns the
     number released.
 
-    SAFE only once every id-bearing result has been materialized to
-    its own storage (``.cache()`` + action, or written out):
+    ``scope``: release only the pins created under that ownership
+    token (e.g. an index out_dir — what ``Engine.close`` passes, so
+    closing one engine never unpins another's). Default releases
+    EVERY scope — session-teardown semantics for ad-hoc users.
+
+    SAFE only once the scope's id-bearing results are materialized to
+    their own storage (``.cache()`` + action, or written out):
     partition-EVICTION recompute reuses the materialized plan's RDD
     graph, so boundaries stay stable — but a fresh ACTION on an
     unmaterialized result re-plans the range exchange with a new
-    sampling seed and would assign DIFFERENT ids. ``Engine.close()``
-    calls this at the right time; ad-hoc users call it explicitly."""
+    sampling seed and would assign DIFFERENT ids."""
+    scopes = (
+        list(_PINNED_RANGES) if scope is _ALL_SCOPES else [scope]
+    )
     n = 0
-    for df in _PINNED_RANGES:
-        df.unpersist()
-        n += 1
-    _PINNED_RANGES.clear()
+    for sc in scopes:
+        for df in _PINNED_RANGES.pop(sc, []):
+            df.unpersist()
+            n += 1
     return n
 
 
@@ -88,6 +102,7 @@ def dense_ids(
     order_cols: list[str],
     id_name: str = "doc_id",
     offset: int = 0,
+    scope: str | None = None,
 ) -> DataFrame:
     """Dense, RUN-REPRODUCIBLE ids ordered by ``order_cols`` — the
     TWO-PASS assignment (no single-task global sort anywhere):
@@ -122,7 +137,7 @@ def dense_ids(
         # load-bearing until release_id_caches().
         .persist()
     )
-    _PINNED_RANGES.append(ranged)
+    _PINNED_RANGES.setdefault(scope, []).append(ranged)
     counts = {
         r["_pid"]: r["cnt"]
         for r in ranged.groupBy("_pid")
@@ -191,7 +206,7 @@ def load_corpus(
     return df
 
 
-def with_doc_ids(df: DataFrame) -> DataFrame:
+def with_doc_ids(df: DataFrame, scope: str | None = None) -> DataFrame:
     """Assign the dense doc_id ordered by (repo, path, commit) — NOT
     monotonically_increasing_id, which depends on physical
     partitioning (SURVEY.md §1.3).
@@ -207,5 +222,6 @@ def with_doc_ids(df: DataFrame) -> DataFrame:
         df.select("repo", "path", "commit"),
         ["repo", "path", "commit"],
         "doc_id",
+        scope=scope,
     )
     return df.join(F.broadcast(ids), ["repo", "path", "commit"])

@@ -89,6 +89,23 @@ def test_search_cached_lru_eviction(engine):
     engine._cache_capacity = 256
 
 
+def test_search_cached_ttl_expiry(engine):
+    """reference cache.py:286-288: entries expire after their TTL and
+    recompute on next access; ttl=None (default) never expires."""
+    engine._result_cache.clear()
+    engine.cache_hits = engine.cache_misses = 0
+    engine._cache_ttl = 10.0
+    a = engine.search_cached("merge block", 3)
+    assert engine.search_cached("merge block", 3) is a  # fresh → hit
+    # age the entry past the TTL (no sleeping: rewrite its timestamp)
+    key, (ts, res) = next(iter(engine._result_cache.items()))
+    engine._result_cache[key] = (ts - 11.0, res)
+    b = engine.search_cached("merge block", 3)
+    assert b == a and b is not a  # recomputed, same values
+    assert engine.cache_misses == 2 and engine.cache_hits == 1
+    engine._cache_ttl = None
+
+
 def test_describe_index_stats(engine):
     d = engine.describe()
     assert d["n_docs"] == 200 and d["n_files"] == 200
@@ -156,9 +173,12 @@ def test_engine_close_releases_executor_memory(spark, tmp_path_factory):
     release_id_caches()
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
-    files = with_doc_ids(generate_repo_files(spark, 40)).cache()
-    files.count()
     out = str(tmp_path_factory.mktemp("close_idx"))
+    # id assignment scoped to the engine's out_dir: close() releases
+    # exactly this scope's pins (round-3 advice — a global release
+    # could unpin another live engine's intermediates)
+    files = with_doc_ids(generate_repo_files(spark, 40), scope=out).cache()
+    files.count()
     eng = Engine.index(spark, files, out, input_id="rf@40-close",
                        bucket_groups=1).persist()
     assert eng.search_serve("merge block", 3)

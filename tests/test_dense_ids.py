@@ -98,3 +98,30 @@ def test_release_id_caches_frees_pinned_ranges(spark):
     # ids still correct served from the materialized cache
     assert sorted(r["doc_id"] for r in out.collect()) == list(range(80))
     out.unpersist()
+
+
+def test_release_id_caches_is_scope_aware(spark):
+    """Round-3 advice: releasing one owner's pins must not unpin
+    another live owner's (Engine.close passes its out_dir as scope).
+    Default (no scope) still releases everything."""
+    from documentindex_spark.sources.registry import (
+        _PINNED_RANGES,
+        dense_ids,
+        release_id_caches,
+    )
+
+    release_id_caches()  # start clean
+    files_a = generate_repo_files(spark, 20)
+    files_b = generate_repo_files(spark, 30)
+    a = dense_ids(files_a.select("repo", "path", "commit"),
+                  ["repo", "path", "commit"], scope="owner-a")
+    b = dense_ids(files_b.select("repo", "path", "commit"),
+                  ["repo", "path", "commit"], scope="owner-b")
+    a.count(), b.count()
+    assert set(_PINNED_RANGES) == {"owner-a", "owner-b"}
+    assert release_id_caches(scope="owner-a") == 1
+    assert set(_PINNED_RANGES) == {"owner-b"}  # b untouched
+    # b's ids still stable after a's release
+    assert sorted(r["doc_id"] for r in b.collect()) == list(range(30))
+    assert release_id_caches() == 1  # default: everything
+    assert not _PINNED_RANGES
