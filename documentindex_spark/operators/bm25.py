@@ -73,6 +73,37 @@ def impacts(
     # query paths select only (doc_id, term, impact) — Catalyst prunes.
 
 
+def impacts_keyed(
+    tf_k: DataFrame, doc_lens: DataFrame, tdict: DataFrame,
+    stats: CorpusStats,
+) -> DataFrame:
+    """impacts() with int64 term keys (round-3 verdict #5): tf_k is
+    (doc_id, tkey, tf) and tdict is the vocab dictionary
+    (tkey, df, bucket) — the token-mass ⋈ vocab join and every
+    downstream encode shuffle move an 8-byte key plus small ints, no
+    term strings. Numerically identical to impacts(): same
+    idf/tf_norm expressions over the same values."""
+    return (
+        tf_k.join(doc_lens, "doc_id")
+        .join(tdict.select("tkey", "df", "bucket"), "tkey")
+        .select(
+            "doc_id",
+            "tkey",
+            "bucket",
+            "tf",
+            "df",
+            (
+                idf_col(F.col("df").cast("double"), stats.n_docs)
+                * tf_norm_col(
+                    F.col("tf").cast("double"),
+                    F.col("dl").cast("double"),
+                    stats.avgdl,
+                )
+            ).alias("impact"),
+        )
+    )
+
+
 def _ordered_sum(df_grouped_terms: DataFrame) -> DataFrame:
     """Deterministic float64 per-doc sum: collect (term, impact)
     structs, sort_array (ascending term), fold with F.aggregate.

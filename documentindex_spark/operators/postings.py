@@ -185,6 +185,7 @@ def _encode_runs(
     tfs: np.ndarray,
     imps: np.ndarray,
     band_size: int,
+    bucket: int | None = None,
 ) -> pd.DataFrame:
     rows = []
     for seg_idx, (start, end) in enumerate(
@@ -194,7 +195,7 @@ def _encode_runs(
             term, df_, doc_ids[start:end], tfs[start:end], imps[start:end]
         )
         d = _segment_to_dict(seg, seg_idx)
-        d["bucket"] = term_bucket(term)
+        d["bucket"] = term_bucket(term) if bucket is None else bucket
         rows.append(d)
     return pd.DataFrame(rows)[[f.name for f in INDEX_SCHEMA.fields]]
 
@@ -294,5 +295,125 @@ def build_segments(
     hot = impact_tf.filter(F.col("df") > postings_per_shard)
     merged = merge_segments(
         build_partial_segments(hot, n_docs, postings_per_shard), band_size
+    )
+    return single.unionByName(merged)
+
+
+# ------------------------------------------ int64-keyed build variant
+#
+# Round-3 verdict #5 (the next per-byte lever after the §9 TF
+# relocation: on bandwidth-bound hardware cutting bytes/row beats
+# adding threads): the encode shuffles carry an 8-byte
+# ``tkey = xxhash64(term)`` instead of the term string; the string
+# rejoins at SEGMENT granularity (vocab-sized, broadcast) just before
+# the index write, so the STORED format — term strings + crc32
+# buckets, query-side pushdown — is byte-identical to the default
+# path (asserted in tests/test_index_bmw.py). Collisions are guarded
+# at dictionary build (plans/build_index.py raises on any tkey with
+# two terms — 2⁻⁶⁴-scale, but an identity-breaking hazard if ignored).
+
+KEYED_SEGMENT_SCHEMA = T.StructType(
+    [T.StructField("tkey", T.LongType())]
+    + SEGMENT_FIELDS
+    + [T.StructField("bucket", T.IntegerType())]
+)
+_KEYED_COLS = [f.name for f in KEYED_SEGMENT_SCHEMA.fields]
+
+
+def _encode_partial_keyed(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id")
+    seg = encode_segment(
+        term="",
+        df=int(pdf["df"].iloc[0]),
+        doc_ids=pdf["doc_id"].to_numpy(np.int64),
+        tfs=pdf["tf"].to_numpy(np.int64),
+        impacts=pdf["impact"].to_numpy(np.float64),
+    )
+    d = _segment_to_dict(seg, 0)
+    d["tkey"] = int(pdf["tkey"].iloc[0])
+    d["bucket"] = int(pdf["bucket"].iloc[0])
+    return pd.DataFrame([d])[_KEYED_COLS]
+
+
+def _encode_final_keyed_fn(band_size: int):
+    def _encode_final_keyed(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        out = _encode_runs(
+            "",
+            int(pdf["df"].iloc[0]),
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["tf"].to_numpy(np.int64),
+            pdf["impact"].to_numpy(np.float64),
+            band_size,
+            bucket=int(pdf["bucket"].iloc[0]),
+        )
+        out.insert(0, "tkey", int(pdf["tkey"].iloc[0]))
+        return out[_KEYED_COLS]
+
+    return _encode_final_keyed
+
+
+def _merge_term_keyed_fn(band_size: int):
+    def _merge_term_keyed(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("min_doc_id")
+        tkey = int(pdf["tkey"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        df_ = int(pdf["df"].iloc[0])
+        total = int(pdf["n_postings"].sum())
+
+        if (
+            len(pdf) == 1
+            and total <= MAX_SEGMENT_POSTINGS
+            and int(pdf["min_doc_id"].iloc[0]) // band_size
+            == int(pdf["max_doc_id"].iloc[0]) // band_size
+        ):
+            out = pdf.iloc[[0]].copy()
+            out["seg_idx"] = 0
+            return out[_KEYED_COLS]
+
+        docs, tfs, imps = [], [], []
+        for _, row in pdf.iterrows():
+            d, t, i = row_to_segment(row).decode_all()
+            docs.append(d)
+            tfs.append(t)
+            imps.append(i)
+        doc_ids = np.concatenate(docs)
+        tfs = np.concatenate(tfs)
+        imps = np.concatenate(imps)
+        assert bool(np.all(np.diff(doc_ids) > 0)), f"unsorted merge {tkey}"
+        out = _encode_runs(
+            "", df_, doc_ids, tfs, imps, band_size, bucket=bucket
+        )
+        out.insert(0, "tkey", tkey)
+        return out[_KEYED_COLS]
+
+    return _merge_term_keyed
+
+
+def build_segments_keyed(
+    impact_tf_k: DataFrame,
+    n_docs: int,
+    postings_per_shard: int = POSTINGS_PER_SHARD,
+    band_size: int = DOC_BAND_SIZE,
+) -> DataFrame:
+    """build_segments over (doc_id, tkey, bucket, tf, impact, df) —
+    same adaptive single-pass/salted split, int64 group keys, term
+    column left '' for the dictionary join in plans/build_index.py."""
+    single = impact_tf_k.filter(
+        F.col("df") <= postings_per_shard
+    ).groupBy("tkey").applyInPandas(
+        _encode_final_keyed_fn(band_size), schema=KEYED_SEGMENT_SCHEMA
+    )
+    hot = impact_tf_k.filter(F.col("df") > postings_per_shard)
+    n_shards = F.ceil(F.col("df") / F.lit(postings_per_shard))
+    shard_width = F.ceil(F.lit(n_docs) / n_shards)
+    salted = hot.withColumn(
+        "shard", F.floor(F.col("doc_id") / shard_width).cast("int")
+    )
+    partial = salted.groupBy("tkey", "shard").applyInPandas(
+        _encode_partial_keyed, schema=KEYED_SEGMENT_SCHEMA
+    )
+    merged = partial.groupBy("tkey").applyInPandas(
+        _merge_term_keyed_fn(band_size), schema=KEYED_SEGMENT_SCHEMA
     )
     return single.unionByName(merged)

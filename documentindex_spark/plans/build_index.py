@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..constants import DOC_BAND_SIZE, NUM_TERM_BUCKETS, POSTINGS_PER_SHARD
 from ..functions.tokenize import term_frequencies_colocated
 from ..operators.bm25 import impacts
-from ..operators.postings import build_segments
+from ..operators.postings import INDEX_SCHEMA, build_segments
 from ..operators.stats import CorpusStats, corpus_stats, document_frequencies
 from .checkpoint import Manifest, stage_fingerprint
 
@@ -73,6 +73,7 @@ def build_index(
     postings_per_shard: int = POSTINGS_PER_SHARD,
     source_path: str | None = None,
     band_size: int = DOC_BAND_SIZE,
+    hashed_term_keys: bool = False,
 ) -> BuiltIndex:
     """Build (or resume) the inverted index for ``files``.
 
@@ -181,16 +182,55 @@ def build_index(
         man.misses += 1
         man.begin("postings", fp_post)
         done = man.completed_partitions("postings", fp_post)
-        # bucket = crc32(term) % NUM_TERM_BUCKETS is a pure function of
-        # term, so it's computed BEFORE the grouped encode: the
-        # per-group filter prunes the token stream itself, not the
-        # finished segments — each group does 1/G of the encode work.
-        impact_b = impact_tf.withColumn(
-            "bucket",
-            F.pmod(
-                F.crc32(F.col("term").cast("binary")), F.lit(NUM_TERM_BUCKETS)
-            ).cast("int"),
-        )
+        tdict = None
+        if hashed_term_keys:
+            # int64-keyed build (round-3 verdict #5): the encode
+            # shuffles carry tkey = xxhash64(term) + an int bucket
+            # instead of term strings; the dictionary (vocab-sized,
+            # derived from the dfreq agg that runs anyway) rejoins the
+            # string at segment granularity before the write. Stored
+            # bytes identical (tests/test_index_bmw.py). Collision
+            # guard: one term per tkey or the build refuses — at a
+            # vocab where the broadcast below would also crack
+            # (≳100M terms), swap F.broadcast for a plain tkey join.
+            tdict = dfreq.select(
+                "term",
+                "df",
+                F.xxhash64("term").alias("tkey"),
+                F.pmod(
+                    F.crc32(F.col("term").cast("binary")),
+                    F.lit(NUM_TERM_BUCKETS),
+                ).cast("int").alias("bucket"),
+            ).persist()
+            ncoll = (
+                tdict.groupBy("tkey")
+                .agg(F.countDistinct("term").alias("c"))
+                .filter(F.col("c") > 1)
+                .count()
+            )
+            if ncoll:
+                raise RuntimeError(
+                    f"xxhash64 term-key collision ({ncoll} keys) — "
+                    "rebuild with hashed_term_keys=False"
+                )
+            from ..operators.bm25 import impacts_keyed
+            from ..operators.postings import INDEX_SCHEMA, build_segments_keyed
+
+            tf_k = tf.withColumn("tkey", F.xxhash64("term")).drop("term")
+            impact_b = impacts_keyed(tf_k, dl, tdict, stats)
+        else:
+            # bucket = crc32(term) % NUM_TERM_BUCKETS is a pure
+            # function of term, so it's computed BEFORE the grouped
+            # encode: the per-group filter prunes the token stream
+            # itself, not the finished segments — each group does 1/G
+            # of the encode work.
+            impact_b = impact_tf.withColumn(
+                "bucket",
+                F.pmod(
+                    F.crc32(F.col("term").cast("binary")),
+                    F.lit(NUM_TERM_BUCKETS),
+                ).cast("int"),
+            )
         groups = [
             [b for b in range(NUM_TERM_BUCKETS) if b % bucket_groups == g]
             for g in range(bucket_groups)
@@ -200,12 +240,24 @@ def build_index(
                 man.hits += 1
                 continue
             t0 = time.time()
-            part = build_segments(
-                impact_b.filter(F.col("bucket").isin(buckets)).drop("bucket"),
-                stats.n_docs,
-                postings_per_shard,
-                band_size,
-            )
+            if hashed_term_keys:
+                part = build_segments_keyed(
+                    impact_b.filter(F.col("bucket").isin(buckets)),
+                    stats.n_docs,
+                    postings_per_shard,
+                    band_size,
+                ).drop("term").join(
+                    F.broadcast(tdict.select("tkey", "term")), "tkey"
+                ).select(*[f.name for f in INDEX_SCHEMA.fields])
+            else:
+                part = build_segments(
+                    impact_b.filter(F.col("bucket").isin(buckets)).drop(
+                        "bucket"
+                    ),
+                    stats.n_docs,
+                    postings_per_shard,
+                    band_size,
+                )
             # one subdir per group; globally still partitioned by bucket
             gpath = os.path.join(postings_path, f"group={gid}")
             part.write.mode("overwrite").partitionBy("bucket").parquet(gpath)
@@ -213,6 +265,8 @@ def build_index(
             man.record_partition(
                 "postings", gid, rows, gpath, (time.time() - t0) * 1000
             )
+        if tdict is not None:
+            tdict.unpersist()
         t0 = time.time()
         total = spark.read.parquet(postings_path).count()
         man.complete("postings", total, postings_path, (time.time() - t0) * 1000)

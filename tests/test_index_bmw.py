@@ -179,3 +179,42 @@ def test_score_threshold_all_identity_and_plan(spark, built, local_docs):
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" not in plan
     assert "Window" not in plan
+
+
+def test_hashed_term_keys_build_is_identical(spark, tmp_path):
+    """The int64-keyed build (xxhash64 keys through the encode
+    shuffles, dictionary join at the write — round-3 verdict #5) must
+    produce EXACTLY the same stored index as the string-keyed path:
+    every column of every segment row, including buckets and
+    block-max metadata."""
+    import os
+
+    from documentindex_spark.corpus import generate_repo_files
+    from documentindex_spark.plans.build_index import build_index
+    from documentindex_spark.sources.registry import with_doc_ids
+
+    files = with_doc_ids(generate_repo_files(spark, 120)).cache()
+
+    def content(out_dir):
+        rows = spark.read.parquet(os.path.join(out_dir, "postings")).collect()
+        return sorted(
+            (
+                r["term"], int(r["seg_idx"]), int(r["df"]),
+                int(r["n_postings"]), int(r["min_doc_id"]),
+                int(r["max_doc_id"]), bytes(r["doc_blob"]),
+                bytes(r["tf_blob"]), bytes(r["impact_blob"]),
+                tuple(r["block_n"]), tuple(r["block_max_doc"]),
+                tuple(r["block_max_impact"]), tuple(r["block_doc_off"]),
+                tuple(r["block_tf_off"]), int(r["bucket"]),
+            )
+            for r in rows
+        )
+
+    a = str(tmp_path / "str_keys")
+    b = str(tmp_path / "int_keys")
+    build_index(spark, files, a, input_id="rf@120", bucket_groups=2)
+    build_index(spark, files, b, input_id="rf@120", bucket_groups=2,
+                hashed_term_keys=True)
+    ca, cb = content(a), content(b)
+    assert len(ca) > 0 and ca == cb
+    files.unpersist()
