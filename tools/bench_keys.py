@@ -32,8 +32,30 @@ from documentindex_spark.sources.registry import (
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # 'wide' appends 12 doc-unique hex identifiers per document
+    # (sha-derived, deterministic): the synthetic corpus has only
+    # ~2.2k distinct terms — a dictionary-encoded string column that
+    # small can't lose to an int64 — while real code corpora carry
+    # millions of unique symbols. wide ≈ n_files × 12 vocab.
+    mode = sys.argv[3] if len(sys.argv) > 3 else "corpus"
     spark = get_spark("bench-keys")
-    files = with_doc_ids(generate_repo_files(spark, n_files)).cache()
+    from pyspark.sql import functions as F
+
+    files = with_doc_ids(generate_repo_files(spark, n_files))
+    if mode == "wide":
+        idents = F.concat_ws(
+            " ",
+            *[
+                F.substring(
+                    F.md5(F.concat_ws("-", "doc_id", F.lit(str(i)))), 1, 12
+                )
+                for i in range(12)
+            ],
+        )
+        files = files.withColumn(
+            "content", F.concat_ws(" ", "content", idents)
+        )
+    files = files.cache()
     files.count()
 
     base = "/tmp/dix_keys_ab"
@@ -57,6 +79,7 @@ def main() -> None:
     med = {a: statistics.median(t) for a, t in times.items()}
     res = {
         "n_files": n_files,
+        "mode": mode,
         "reps": reps,
         "string_median_s": round(med["string"], 2),
         "hashed_median_s": round(med["hashed"], 2),
@@ -67,7 +90,9 @@ def main() -> None:
         "files_per_s_string": round(n_files / med["string"], 1),
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/keys_ab.json", "w") as f:
+    out_name = ("BENCH/keys_ab.json" if mode == "corpus"
+                else f"BENCH/keys_ab_{mode}.json")
+    with open(out_name, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res))
     release_id_caches()
