@@ -632,9 +632,16 @@ def embedding_lsh_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from banded sign-LSH: vectors
     sharing at least one band of hyperplane sign bits.
+
+    ``cache``: persist the band table so the self-join's two sides
+    share ONE signature pass (plan-audited: uncached, the Arrow
+    matmul UDF appears on both sides with no exchange reuse — at
+    10^9 vectors that doubles the dominant cost). Same device as
+    minhash_near_duplicates' persisted signature table.
 
     The semantic-dedup mirror of minhash_lsh_candidates: one packed
     signature per vector (ann.lsh_sign_buckets — a single Arrow-batch
@@ -677,6 +684,8 @@ def embedding_lsh_candidates(
             .filter(F.col("_bsize") <= max_bucket_size)
             .drop("_bsize")
         )
+    if cache:
+        bandtab = bandtab.persist()
     a = bandtab.select(F.col("doc").alias("doc_a"), "band", "band_key")
     b_ = bandtab.select(F.col("doc").alias("doc_b"), "band", "band_key")
     return (
@@ -696,6 +705,7 @@ def embedding_near_duplicates_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, cos ≥ threshold) — the 100 TB semantic-dedup
     path (round-3 verdict #3): banded sign-LSH candidates, then exact
@@ -709,7 +719,8 @@ def embedding_near_duplicates_lsh(
     dot per row, the measured winner for this shape (module note
     above, BENCH/BASELINE.md §7.5)."""
     cand = embedding_lsh_candidates(
-        emb, dim, n_planes, bands, id_col, vec_col, max_bucket_size
+        emb, dim, n_planes, bands, id_col, vec_col, max_bucket_size,
+        cache=cache,
     )
     va = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
