@@ -70,10 +70,14 @@ def extractive_summaries(
             "sent_idx", "sentence"
         ),
     )
+    # Sentence TEXT stays out of the scoring path: term rows key on
+    # (ids, sent_idx) only — carrying the full sentence string on
+    # every term row (and in the group key) would multiply the
+    # scoring shuffle by avg sentence length. Only the one winning
+    # sentence per unit is fetched back, by (ids, sent_idx) join.
     terms = sents.select(
         *ids,
         "sent_idx",
-        "sentence",
         F.explode(
             F.split(F.lower(F.col("sentence")), TOKEN_SPLIT_RE)
         ).alias("term"),
@@ -85,7 +89,7 @@ def extractive_summaries(
     # both engines sum idfs in term order instead.
     scored = (
         distinct_terms.join(idf, "term", "left")
-        .groupBy(*ids, "sent_idx", "sentence")
+        .groupBy(*ids, "sent_idx")
         .agg(
             F.round(
                 F.aggregate(
@@ -107,15 +111,16 @@ def extractive_summaries(
     w = Window.partitionBy(*ids).orderBy(
         F.desc("score"), F.asc("sent_idx")
     )
-    return (
+    best = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(
-            *ids,
-            F.col("sentence").alias("summary"),
-            "score",
-            "sent_idx",
-        )
+        .select(*ids, "score", "sent_idx")
+    )
+    return best.join(sents, ids + ["sent_idx"]).select(
+        *ids,
+        F.col("sentence").alias("summary"),
+        "score",
+        "sent_idx",
     )
 
 
