@@ -624,6 +624,73 @@ def cosine_sim_col(a: Column, b: Column) -> Column:
 # tools/bench_cosine.py, BENCH/BASELINE.md §7.5.
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over near-dup
+    pairs; cluster_id = the smallest doc_id reachable through the
+    pair graph. The step every dedup pipeline needs after pair
+    generation: pairs → clusters → keep min-id representative.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds — near-dup clusters are shallow (most
+    are stars around a template), so 3-5 rounds in practice,
+    ``max_iters`` as the stop-loss. Each round is one join + one
+    groupBy, all Catalyst-planned; labels are localCheckpoint-ed per
+    round so lineage stays flat (an iterative plan otherwise doubles
+    per round). DuckDB twin: WITH RECURSIVE min-reachable-label
+    (gate entry ``dedup_clusters``).
+
+    Deterministic: pure min-semilattice fixpoint — iteration order
+    can't change the result.
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("cluster_id").alias("nb_label"),
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nb_label").alias("min_nb"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("min_nb", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_lsh_candidates(
     emb: DataFrame,
     dim: int,

@@ -377,3 +377,57 @@ def test_exact_substring_spans_hash_eq_string(docs_df):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_duplicate_clusters_components(spark):
+    """Chain, star, and singleton-pair components all collapse to the
+    min reachable doc_id; disconnected components stay separate."""
+    pairs = spark.createDataFrame(
+        # chain 0-1-2-3 (via consecutive pairs), star 10<-{11,12,13},
+        # isolated pair (20,21)
+        [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 12-node path needs multiple propagation rounds (diameter >
+    1) — exercises the fixpoint loop, not just one hop."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_duplicate_clusters_matches_duckdb_recursive(spark):
+    """Parked gate entry dedup_clusters: Spark fixpoint == DuckDB
+    WITH RECURSIVE min-reachable-label on the sf0.001 corpus (the
+    same comparison tools/driver_check.py runs for every entry)."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    sdf = em.queries()["dedup_clusters"](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    odf = con.execute(em.oracle_sql()["dedup_clusters"]).df()
+    s = sdf.sort_values(["doc_id"]).reset_index(drop=True)
+    o = odf.sort_values(["doc_id"]).reset_index(drop=True)
+    assert len(s) == len(o) > 0
+    assert (s["doc_id"].values == o["doc_id"].values).all()
+    assert (s["cluster_id"].values == o["cluster_id"].values).all()
