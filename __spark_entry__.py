@@ -1129,6 +1129,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.duplicate_clusters(pairs)
 
+    def q_curation_neardup(spark, sf_dir):
+        # Lee-et-al-shaped curation: near-dup clusters keep-one +
+        # quality + language gates in one plan. Entry passes exact
+        # jaccard pairs so the DuckDB twin reproduces the pair set;
+        # the operator's scale default is MinHash-LSH pairs.
+        docs = _docs(spark, sf_dir)
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.25).select(
+            "doc_a", "doc_b"
+        )
+        return textstats.curate_corpus_neardup(
+            docs, pairs=pairs, min_quality=0.6, lang="en"
+        )
+
     def q_simhash_near_dup(spark, sf_dir):
         return dedup.simhash_near_duplicates(
             _docs(spark, sf_dir), max_hamming=3
@@ -1620,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # already holds a distinct operator; value-checked by the
         # driver_check replica (compares ALL entries) + pytest
         "dedup_clusters": q_dedup_clusters,
+        "curation_neardup": q_curation_neardup,
         # -------- zone 3: rows-only by design (pytest-pinned) --------
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -1792,6 +1806,71 @@ reach(doc_id, lab) AS (
     SELECT e.doc_a, r.lab FROM edges e JOIN reach r ON e.doc_b = r.doc_id
 )
 SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1
+""",
+        "curation_neardup": _ORACLE_SHINGLES.replace(
+            "WITH tl", "WITH RECURSIVE tl"
+        )
+        + f"""
+, sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.25
+),
+edges AS (
+    SELECT doc_a, doc_b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, lab) AS (
+    SELECT doc_a, doc_a FROM edges
+    UNION
+    SELECT e.doc_a, r.lab FROM edges e JOIN reach r ON e.doc_b = r.doc_id
+),
+clus AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1),
+ls AS (SELECT doc_id, {lang_scores_sql} FROM documents),
+lb AS (SELECT *, greatest({greatest_scores}) AS best FROM ls),
+lp AS (SELECT doc_id, CASE {lang_pred_cases} END AS lang_pred FROM lb),
+qf AS (
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
+           len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b'))::BIGINT AS n_stop
+    FROM documents
+),
+qr AS (
+    SELECT doc_id,
+           CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0.0 END AS avg_tok,
+           CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_r,
+           CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stop_r,
+           n_tokens
+    FROM qf
+),
+qs AS (
+    SELECT doc_id, round(
+      (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN avg_tok >= 3.0 AND avg_tok <= 12.0 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN punct_r <= 0.2 THEN 0.2 ELSE 0.0 END)
+      + (CASE WHEN stop_r >= 0.01 THEN 0.1 ELSE 0.0 END), 6) AS quality_score
+    FROM qr
+)
+SELECT qs.doc_id, qs.quality_score, lp.lang_pred,
+       coalesce(clus.doc_id <> clus.cluster_id, FALSE) AS is_near_dup,
+       (coalesce(clus.doc_id = clus.cluster_id, TRUE)
+        AND qs.quality_score >= 0.6
+        AND lp.lang_pred = 'en') AS keep
+FROM qs
+JOIN lp USING (doc_id)
+LEFT JOIN clus USING (doc_id)
 """,
         "minhash_signatures": _ORACLE_SHINGLES
         + """

@@ -258,3 +258,62 @@ def curate_corpus(
             & (F.col("lang_pred") == lang)
         ).alias("keep"),
     )
+
+
+def curate_corpus_neardup(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    min_quality: float = 0.6,
+    lang: str = "en",
+    text_col: str = "text",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """curate_corpus with NEAR-duplicate awareness — the Lee et al.
+    2022 pipeline shape: pair generation → connected components →
+    keep one representative per cluster (the min doc_id), then the
+    quality and language gates. Exact duplicates are a special case
+    (jaccard 1.0), so this subsumes the exact keep-first pass.
+
+    ``pairs``: any (doc_a, doc_b) near-dup pair table. Default None
+    computes MinHash-LSH candidates-verified pairs (the 100 TB path);
+    the oracle-gated driver entry passes exact n-gram Jaccard pairs
+    instead so the DuckDB twin reproduces the identical pair set.
+
+    Returns (doc_id, quality_score, lang_pred, is_near_dup, keep):
+    is_near_dup marks non-representative cluster members; keep =
+    representative-or-unique AND quality ≥ min AND language match.
+    """
+    from ..operators.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+
+    if pairs is None:
+        pairs = minhash_near_duplicates(
+            df, threshold=threshold, text_col=text_col
+        ).select("doc_a", "doc_b")
+    clusters = duplicate_clusters(pairs)
+    q = quality_features(df, text_col).select("doc_id", "quality_score")
+    lp = language_scores(df, text_col).select("doc_id", "lang_pred")
+    flags = clusters.select(
+        "doc_id",
+        (F.col("doc_id") != F.col("cluster_id")).alias("is_near_dup"),
+    )
+    out = (
+        q.join(lp, "doc_id")
+        .join(flags, "doc_id", "left")
+        .withColumn(
+            "is_near_dup", F.coalesce("is_near_dup", F.lit(False))
+        )
+    )
+    return out.select(
+        "doc_id",
+        "quality_score",
+        "lang_pred",
+        "is_near_dup",
+        (
+            (~F.col("is_near_dup"))
+            & (F.col("quality_score") >= min_quality)
+            & (F.col("lang_pred") == lang)
+        ).alias("keep"),
+    )

@@ -431,3 +431,35 @@ def test_duplicate_clusters_matches_duckdb_recursive(spark):
     assert len(s) == len(o) > 0
     assert (s["doc_id"].values == o["doc_id"].values).all()
     assert (s["cluster_id"].values == o["cluster_id"].values).all()
+
+
+def test_curate_corpus_neardup_keep_one_representative(spark):
+    """Near-dup clusters keep exactly their min-doc_id member; unique
+    docs keep iff quality+language pass; exact dups are subsumed."""
+    from documentindex_spark.functions import textstats
+
+    good = ("the data of the index is sorted and the merge of the "
+            "window is applied to the files and the rows are kept")
+    rows = [
+        (0, good),
+        (1, good),  # exact dup of 0 → jaccard 1.0 cluster
+        (2, good + " with one extra tail here"),  # near-dup of 0
+        (3, "short"),  # fails quality gates
+        (4, "el la es un una de los las que y el documento grande "
+            "de la tabla es una fila de los datos y el texto"),  # es
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.25).select(
+        "doc_a", "doc_b"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.curate_corpus_neardup(
+            docs, pairs=pairs, min_quality=0.6, lang="en"
+        ).collect()
+    }
+    assert not out[0]["is_near_dup"] and out[0]["keep"]
+    assert out[1]["is_near_dup"] and not out[1]["keep"]
+    assert out[2]["is_near_dup"] and not out[2]["keep"]
+    assert not out[3]["is_near_dup"] and not out[3]["keep"]  # quality
+    assert not out[4]["keep"]  # language gate
