@@ -1129,6 +1129,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.duplicate_clusters(pairs)
 
+    def q_contamination(spark, sf_dir):
+        # benchmark decontamination: held-out docs (doc_id % 10 == 0)
+        # checked for verbatim 8-gram overlap with the "training"
+        # split. String gram keys so the DuckDB twin matches exactly;
+        # the hash-key scale path is asserted identical in tests.
+        docs = _docs(spark, sf_dir)
+        return dedup.contamination_check(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            k=8,
+            use_hash=False,
+        )
+
     def q_curation_neardup(spark, sf_dir):
         # Lee-et-al-shaped curation: near-dup clusters keep-one +
         # quality + language gates in one plan. Entry passes exact
@@ -1634,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver_check replica (compares ALL entries) + pytest
         "dedup_clusters": q_dedup_clusters,
         "curation_neardup": q_curation_neardup,
+        "contamination_check": q_contamination,
         # -------- zone 3: rows-only by design (pytest-pinned) --------
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -1806,6 +1820,40 @@ reach(doc_id, lab) AS (
     SELECT e.doc_a, r.lab FROM edges e JOIN reach r ON e.doc_b = r.doc_id
 )
 SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1
+""",
+        "contamination_check": """
+WITH ctl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+    FROM documents WHERE doc_id % 10 <> 0
+),
+cg AS (
+    SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram
+    FROM ctl, unnest(range(1, len(toks) - 6)) AS r(i)
+    WHERE len(toks) >= 8
+),
+btl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+    FROM documents WHERE doc_id % 10 = 0
+),
+bg AS (
+    SELECT doc_id AS bench_id, array_to_string(toks[i:i+7], ' ') AS gram
+    FROM btl, unnest(range(1, len(toks) - 6)) AS r(i)
+    WHERE len(toks) >= 8
+),
+tot AS (SELECT bench_id, count(*)::BIGINT AS n_grams_total FROM bg GROUP BY 1),
+hit AS (
+    SELECT bench_id, count(*)::BIGINT AS n_grams_contaminated
+    FROM bg WHERE gram IN (SELECT gram FROM cg) GROUP BY 1
+)
+SELECT t.bench_id, t.n_grams_total,
+       coalesce(h.n_grams_contaminated, 0)::BIGINT AS n_grams_contaminated,
+       round(coalesce(h.n_grams_contaminated, 0)::DOUBLE / t.n_grams_total,
+             6) AS contamination
+FROM tot t LEFT JOIN hit h USING (bench_id)
 """,
         "curation_neardup": _ORACLE_SHINGLES.replace(
             "WITH tl", "WITH RECURSIVE tl"

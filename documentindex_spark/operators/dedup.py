@@ -125,6 +125,74 @@ def exact_substring_spans(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_hash: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (the cross-dataset face of Lee et
+    al. 2022 §4): which benchmark documents share a verbatim k-token
+    gram with the training corpus, and how much.
+
+    Returns (bench_id, n_grams_total, n_grams_contaminated,
+    contamination) — one row per benchmark doc, contamination =
+    contaminated/total grams (0.0 rows included so the output covers
+    every benchmark doc with ≥1 gram).
+
+    Plan: positional k-grams on BOTH sides (the shingles lead-window
+    shape), corpus side reduced to DISTINCT gram keys (vocab-sized),
+    benchmark grams left-semi-joined against it, one final per-doc
+    agg. The corpus — the 100 TB side — is touched exactly once and
+    never self-joined; the join key is ``xxhash64(gram)`` by default
+    (8 bytes through the shuffle; ``use_hash=False`` keeps the string
+    key, which the DuckDB oracle uses and tests assert identical).
+    """
+    from pyspark.sql.window import Window
+
+    def grams(df: DataFrame, ident: str) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy("pos")
+        t = tokenize(df, text_col, id_col)
+        lead_cols = []
+        for i in range(1, k):
+            name = f"_lead{i}"
+            t = t.withColumn(name, F.lead("term", i).over(w))
+            lead_cols.append(name)
+        if lead_cols:
+            t = t.filter(F.col(lead_cols[-1]).isNotNull())
+        gram = F.concat_ws(" ", "term", *lead_cols)
+        key = F.xxhash64(gram) if use_hash else gram
+        return t.select(F.col(id_col).alias(ident), key.alias("gram_key"))
+
+    corpus_keys = grams(corpus, "corpus_id").select("gram_key").distinct()
+    bg = grams(benchmark, "bench_id")
+    hits = bg.join(corpus_keys, "gram_key", "left_semi")
+    totals = bg.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_grams_total")
+    )
+    contam = hits.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_grams_contaminated")
+    )
+    return (
+        totals.join(contam, "bench_id", "left")
+        .select(
+            "bench_id",
+            "n_grams_total",
+            F.coalesce("n_grams_contaminated", F.lit(0)).alias(
+                "n_grams_contaminated"
+            ),
+        )
+        .withColumn(
+            "contamination",
+            F.round(
+                F.col("n_grams_contaminated") / F.col("n_grams_total"), 6
+            ),
+        )
+    )
+
+
 # ----------------------------------------------------------- shingles
 
 

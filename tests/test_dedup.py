@@ -463,3 +463,36 @@ def test_curate_corpus_neardup_keep_one_representative(spark):
     assert out[2]["is_near_dup"] and not out[2]["keep"]
     assert not out[3]["is_near_dup"] and not out[3]["keep"]  # quality
     assert not out[4]["keep"]  # language gate
+
+
+def test_contamination_check_planted(spark):
+    """A benchmark doc that copies an 8-token run from the corpus is
+    flagged with the exact gram counts; clean docs report 0.0; the
+    hash-key scale path equals the string-key path."""
+    corpus = spark.createDataFrame(
+        [(0, "one two three four five six seven eight nine ten "
+             "eleven twelve")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            # tokens 0..8 of the corpus doc → grams at ords 0 and 1
+            (100, "one two three four five six seven eight nine"),
+            (101, "totally novel words that the corpus never saw "
+                  "anywhere at all in any doc"),
+        ],
+        "doc_id long, text string",
+    )
+    for use_hash in (False, True):
+        got = {
+            r["bench_id"]: (
+                r["n_grams_total"],
+                r["n_grams_contaminated"],
+                r["contamination"],
+            )
+            for r in dedup.contamination_check(
+                corpus, bench, k=8, use_hash=use_hash
+            ).collect()
+        }
+        assert got[100] == (2, 2, 1.0)
+        assert got[101] == (7, 0, 0.0)
