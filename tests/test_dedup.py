@@ -496,3 +496,44 @@ def test_contamination_check_planted(spark):
         }
         assert got[100] == (2, 2, 1.0)
         assert got[101] == (7, 0, 0.0)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_duplicate_clusters_random_vs_union_find(spark, seed):
+    """Randomized graphs vs a driver-side union-find oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(6, 25))
+    m = int(rng.integers(3, 30))
+    edges = sorted(
+        {
+            tuple(sorted(p))
+            for p in rng.integers(0, n, size=(m, 2)).tolist()
+            if p[0] != p[1]
+        }
+    )
+    if not edges:
+        pytest.skip("empty graph draw")
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for e in edges for v in e}
+    want = {v: find(v) for v in sorted(nodes)}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == want, f"seed={seed} n={n} edges={edges}"
