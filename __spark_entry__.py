@@ -1189,6 +1189,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bpe.bpe_merges(_docs(spark, sf_dir), n_merges=50)
 
+    def q_sketch_stats(spark, sf_dir):
+        # bounded-memory corpus monitoring (HLL distinct terms, GK
+        # quantiles) — estimates by construction, so rows-only here;
+        # error bounds vs exact answers pinned in tests/test_sketches
+        from documentindex_spark.functions import sketches
+
+        return sketches.corpus_sketch_stats(_docs(spark, sf_dir))
+
     # ---- BPE, the SQL-expressible split (round-3 verdict #6): the
     # corpus word-frequency table is one agg (full oracle), and
     # apply_bpe over a LITERAL merge list is a rank-ordered replace
@@ -1652,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
         "bpe_merges": q_bpe_merges,
+        "sketch_stats": q_sketch_stats,
     }
 
 
