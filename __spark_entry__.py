@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from documentindex_spark.constants import BM25_B, BM25_K1  # noqa: E402
+from documentindex_spark.functions import pii as piimod  # noqa: E402
 from documentindex_spark.functions import textstats  # noqa: E402
 from documentindex_spark.functions.tokenize import (  # noqa: E402
     doc_lengths,
@@ -64,6 +65,33 @@ from documentindex_spark.streaming import events as ev  # noqa: E402
 # equivalent to the encoder's best-rank-first loop because a later
 # merge can never create an occurrence of an earlier-rank pair (its
 # output symbol postdates them).
+# Winnowing (k=5, w=4) replica shared by both winnow_* oracles: the
+# same md5-prefix 60-bit gram hash and trailing-window min the Spark
+# operator computes (operators/dedup.py:winnow_fingerprints).
+_WINNOW_CTE = r"""
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id, i,
+           CAST(concat('0x', substr(md5(
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4]), 1, 15)) AS BIGINT) AS h
+    FROM tl, unnest(range(1, len(toks) - 3)) AS r(i)
+    WHERE len(toks) >= 5
+),
+wmin AS (
+    SELECT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+    FROM g
+)
+"""
+
 _BPE_LITERAL_MERGES = [
     ("e", "</w>"),
     ("m", "e"),
@@ -1271,6 +1299,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), min_quality=0.6, lang="en"
         )
 
+    def q_repetition(spark, sf_dir):
+        return textstats.repetition_features(_docs(spark, sf_dir))
+
+    def q_line_quality(spark, sf_dir):
+        # The synthetic corpus is single-line; both twins wrap every
+        # 8 words onto a line (RE2-safe pattern, replacement-side
+        # group ref only) so the line features exercise real lines.
+        docs = _docs(spark, sf_dir)
+        wrapped = docs.select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("text"), r"((\S+ ){7}\S+) ", "$1\n"
+            ).alias("text"),
+        )
+        return textstats.line_quality_features(wrapped)
+
+    def q_winnow_fps(spark, sf_dir):
+        return dedup.winnow_fingerprints(_docs(spark, sf_dir)).select(
+            "doc_id", F.col("fp").cast("long").alias("fp")
+        )
+
+    def q_winnow_pairs(spark, sf_dir):
+        return dedup.winnow_similar_pairs(
+            _docs(spark, sf_dir), min_shared=2
+        ).select(
+            "doc_a", "doc_b", F.col("shared_fps").cast("long").alias("shared_fps")
+        )
+
+    def q_pii(spark, sf_dir):
+        # The synthetic corpus carries no PII, so both twins inject a
+        # deterministic doc_id-derived email/ip/phone suffix; counts
+        # and the redacted text (as sha256 — scalar, compact) are then
+        # value-checked end-to-end. Raw behavior pinned in test_pii.
+        docs = _docs(spark, sf_dir)
+        inj = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 call 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ).alias("text"),
+        )
+        feats = piimod.pii_features(inj)
+        red = piimod.redact_pii(inj)
+        return feats.join(red, "doc_id").select(
+            "doc_id",
+            "n_email",
+            "n_ipv4",
+            "n_ssn",
+            "n_phone",
+            "n_card",
+            "has_pii",
+            F.sha2(F.col("text_redacted"), 256).alias("redacted_sha"),
+        )
+
     def q_fingerprints(spark, sf_dir):
         return textstats.doc_fingerprints(_docs(spark, sf_dir)).filter(
             F.col("doc_id") % 25 == 0
@@ -1656,6 +1743,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "curation_neardup": q_curation_neardup,
         "contamination_check": q_contamination,
+        "repetition_features": q_repetition,
+        "line_quality": q_line_quality,
+        "pii_redaction": q_pii,
+        "winnow_fingerprints": q_winnow_fps,
+        "winnow_candidate_pairs": q_winnow_pairs,
         # -------- zone 3: rows-only by design (pytest-pinned) --------
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -1700,6 +1792,39 @@ def oracle_sql() -> dict[str, str]:
             f"(CASE WHEN {_proj} > 0 THEN {1 << _j} ELSE 0 END)"
         )
     lsh_bucket_expr = "\n    + ".join(_bucket_terms)
+
+    # PII oracle composed from the SAME pattern constants the Spark
+    # operator uses (functions/pii.py) — one source of truth, RE2-safe.
+    _pii_counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{piimod.PII_PATTERNS[fam]}'))::BIGINT"
+        f" AS n_{fam}"
+        for fam in piimod.FAMILY_ORDER
+    )
+    _pii_total = " + ".join(
+        f"len(regexp_extract_all(text, '{piimod.PII_PATTERNS[fam]}'))"
+        for fam in piimod.FAMILY_ORDER
+    )
+    _pii_red = "text"
+    for _fam in piimod.FAMILY_ORDER:
+        _pii_red = (
+            f"regexp_replace({_pii_red}, "
+            f"'{piimod.PII_PATTERNS[_fam]}', '[{_fam.upper()}]', 'g')"
+        )
+    pii_sql = f"""
+WITH inj AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id::VARCHAR ||
+           '@example.com ip 10.0.' || (doc_id % 256)::VARCHAR ||
+           '.7 call 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           AS text
+    FROM documents
+)
+SELECT doc_id,
+       {_pii_counts},
+       ({_pii_total}) > 0 AS has_pii,
+       sha256({_pii_red}) AS redacted_sha
+FROM inj
+"""
 
     d = {
         "tf_sample": _ORACLE_TOKS
@@ -2127,6 +2252,124 @@ SELECT doc_id, n_chars, n_tokens,
          + (CASE WHEN punct_r <= 0.2 THEN 0.2 ELSE 0.0 END)
          + (CASE WHEN stop_r >= 0.01 THEN 0.1 ELSE 0.0 END), 6) AS quality_score
 FROM r
+""",
+        "repetition_features": r"""
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, toks[i] AS t1, toks[i + 1] AS t2, toks[i + 2] AS t3,
+           toks[i + 3] AS t4, toks[i + 4] AS t5
+    FROM tl, unnest(range(1, len(toks) + 1)) AS r(i)
+),
+cw AS (
+    SELECT doc_id, sum(c)::BIGINT AS n, max(c)::BIGINT AS mw
+    FROM (SELECT doc_id, t1, count(*) AS c FROM tok GROUP BY 1, 2)
+    GROUP BY 1
+),
+c2 AS (
+    SELECT doc_id, max(c)::BIGINT AS m2
+    FROM (SELECT doc_id, t1 || ' ' || t2 AS g, count(*) AS c
+          FROM tok WHERE t2 IS NOT NULL GROUP BY 1, 2)
+    GROUP BY 1
+),
+c3 AS (
+    SELECT doc_id, max(c)::BIGINT AS m3
+    FROM (SELECT doc_id, t1 || ' ' || t2 || ' ' || t3 AS g, count(*) AS c
+          FROM tok WHERE t3 IS NOT NULL GROUP BY 1, 2)
+    GROUP BY 1
+),
+c5 AS (
+    SELECT doc_id, sum(c)::BIGINT AS n5, count(*)::BIGINT AS d5
+    FROM (SELECT doc_id,
+                 t1 || ' ' || t2 || ' ' || t3 || ' ' || t4 || ' ' || t5 AS g,
+                 count(*) AS c
+          FROM tok WHERE t5 IS NOT NULL GROUP BY 1, 2)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n, 0)::BIGINT AS n_tokens,
+       round(CASE WHEN coalesce(n, 0) > 0
+                  THEN coalesce(mw, 0)::DOUBLE / n ELSE 0.0 END, 6)
+           AS top_word_frac,
+       round(CASE WHEN coalesce(n, 0) > 0
+                  THEN 2 * coalesce(m2, 0)::DOUBLE / n ELSE 0.0 END, 6)
+           AS top_2gram_frac,
+       round(CASE WHEN coalesce(n, 0) > 0
+                  THEN 3 * coalesce(m3, 0)::DOUBLE / n ELSE 0.0 END, 6)
+           AS top_3gram_frac,
+       round(CASE WHEN coalesce(n5, 0) > 0
+                  THEN (n5 - d5)::DOUBLE / n5 ELSE 0.0 END, 6)
+           AS dup_5gram_frac
+FROM documents d
+LEFT JOIN cw USING (doc_id) LEFT JOIN c2 USING (doc_id)
+LEFT JOIN c3 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+""",
+        "line_quality": r"""
+WITH w AS (
+    SELECT doc_id,
+           regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10),
+                          'g') AS text
+    FROM documents
+),
+l AS (
+    SELECT doc_id, trim(x) AS line
+    FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS x
+          FROM w)
+    WHERE trim(x) <> ''
+),
+g AS (
+    SELECT doc_id, line, count(*) AS c, length(line) AS llen,
+           CASE WHEN regexp_matches(line, '^[-*•]') THEN 1 ELSE 0 END AS bul,
+           CASE WHEN regexp_matches(line, '(\.\.\.|…)$') THEN 1 ELSE 0 END AS ell,
+           CASE WHEN regexp_matches(line, '[.!?]$') THEN 1 ELSE 0 END AS term,
+           CASE WHEN len(regexp_extract_all(line, '\S+')) < 5
+                THEN 1 ELSE 0 END AS sh
+    FROM l GROUP BY 1, 2
+),
+a AS (
+    SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS d,
+           sum(c * llen)::BIGINT AS chars, sum(llen)::BIGINT AS dchars,
+           sum(c * bul)::BIGINT AS buls, sum(c * ell)::BIGINT AS ells,
+           sum(c * term)::BIGINT AS terms, sum(c * sh)::BIGINT AS shorts
+    FROM g GROUP BY 1
+)
+SELECT d0.doc_id,
+       coalesce(n, 0)::BIGINT AS n_lines,
+       round(CASE WHEN coalesce(n, 0) > 0
+                  THEN (n - d)::DOUBLE / n ELSE 0.0 END, 6)
+           AS dup_line_frac,
+       round(CASE WHEN coalesce(chars, 0) > 0
+                  THEN (chars - dchars)::DOUBLE / chars ELSE 0.0 END, 6)
+           AS dup_line_char_frac,
+       round(CASE WHEN coalesce(n, 0) > 0
+                  THEN coalesce(buls, 0)::DOUBLE / n ELSE 0.0 END, 6)
+           AS bullet_line_frac,
+       round(CASE WHEN coalesce(n, 0) > 0
+                  THEN coalesce(ells, 0)::DOUBLE / n ELSE 0.0 END, 6)
+           AS ellipsis_line_frac,
+       round(CASE WHEN coalesce(n, 0) > 0
+                  THEN coalesce(terms, 0)::DOUBLE / n ELSE 0.0 END, 6)
+           AS terminal_punct_line_frac,
+       round(CASE WHEN coalesce(n, 0) > 0
+                  THEN coalesce(shorts, 0)::DOUBLE / n ELSE 0.0 END, 6)
+           AS short_line_frac
+FROM documents d0 LEFT JOIN a USING (doc_id)
+""",
+        "pii_redaction": pii_sql,
+        "winnow_fingerprints": _WINNOW_CTE + r"""
+SELECT DISTINCT doc_id, fp FROM wmin WHERE rn >= 4
+""",
+        "winnow_candidate_pairs": _WINNOW_CTE + r"""
+, fp AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE rn >= 4)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::BIGINT AS shared_fps
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
 """,
         "token_counts": r"""
 SELECT doc_id,

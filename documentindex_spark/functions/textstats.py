@@ -201,6 +201,185 @@ def lm_quality_scores(
     )
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, top_word_frac, top_2gram_frac, top_3gram_frac,
+    dup_5gram_frac) — the word-level half of the Gopher repetition
+    filters (Rae et al. 2021, appendix A1.1): documents dominated by a
+    single word/2-gram/3-gram or by repeated 5-grams are boilerplate
+    (navigation bars, keyword stuffing, scraped templates) and get
+    culled before training.
+
+    Frozen semantics (tokens = the frozen analyzer, tokenize()):
+      top_word_frac  = max word count / n_tokens
+      top_2gram_frac = 2·(max 2-gram count) / n_tokens
+      top_3gram_frac = 3·(max 3-gram count) / n_tokens
+      dup_5gram_frac = (n 5-grams − distinct 5-grams) / n 5-grams
+    All fractions 0.0 when the denominator is 0; round(6) both sides.
+
+    Plan shape: tokenize → ONE window sort per doc (lead 1..4 builds
+    every gram level from the same pass) → per-gram hash aggs. The
+    window's HashPartitioning(doc_id) satisfies every downstream
+    ClusteredDistribution(doc_id, gram) (partition keys ⊆ grouping
+    keys), so the gram aggs plan no further exchange, and Spark's
+    ReuseExchange dedupes the shared window subtree across the four
+    branches — one real shuffle of token rows at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    t = tokenize(df, text_col, id_col).select(
+        id_col,
+        "term",
+        F.lead("term", 1).over(w).alias("_w1"),
+        F.lead("term", 2).over(w).alias("_w2"),
+        F.lead("term", 3).over(w).alias("_w3"),
+        F.lead("term", 4).over(w).alias("_w4"),
+    )
+    cw = (
+        t.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("_n"), F.max("c").alias("_mw"))
+    )
+    g2 = (
+        t.where(F.col("_w1").isNotNull())
+        .groupBy(id_col, F.concat_ws(" ", "term", "_w1").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_m2"))
+    )
+    g3 = (
+        t.where(F.col("_w2").isNotNull())
+        .groupBy(
+            id_col, F.concat_ws(" ", "term", "_w1", "_w2").alias("g")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_m3"))
+    )
+    g5 = (
+        t.where(F.col("_w4").isNotNull())
+        .groupBy(
+            id_col,
+            F.concat_ws(
+                " ", "term", "_w1", "_w2", "_w3", "_w4"
+            ).alias("g"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("_n5"), F.count(F.lit(1)).alias("_d5"))
+    )
+    out = (
+        df.select(id_col)
+        .join(cw, id_col, "left")
+        .join(g2, id_col, "left")
+        .join(g3, id_col, "left")
+        .join(g5, id_col, "left")
+    )
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+    )
+    return out.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        frac(F.coalesce(F.col("_mw"), F.lit(0)), n).alias("top_word_frac"),
+        frac(2 * F.coalesce(F.col("_m2"), F.lit(0)), n).alias(
+            "top_2gram_frac"
+        ),
+        frac(3 * F.coalesce(F.col("_m3"), F.lit(0)), n).alias(
+            "top_3gram_frac"
+        ),
+        frac(
+            F.coalesce(F.col("_n5") - F.col("_d5"), F.lit(0)),
+            F.coalesce(F.col("_n5"), F.lit(0)),
+        ).alias("dup_5gram_frac"),
+    )
+
+
+def line_quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    bullet_line_frac, ellipsis_line_frac, terminal_punct_line_frac,
+    short_line_frac) — the line-level Gopher/C4 boilerplate filters:
+    duplicate lines (nav bars, footers), bullet/ellipsis lines
+    (Gopher), lines ending without terminal punctuation and very short
+    lines (C4, Raffel et al. 2020 §2.2).
+
+    Frozen semantics: lines = split on '\\n', trimmed, empty lines
+    dropped.  dup_line_frac counts occurrences beyond the first;
+    dup_line_char_frac is the character-weighted version; bullet =
+    trimmed line starts with -, * or U+2022; ellipsis = ends with
+    '...' or U+2026; terminal = ends with . ! or ?; short = fewer
+    than 5 whitespace-separated words. Fractions are over line
+    OCCURRENCES (each repeat counts); 0.0 when a doc has no lines.
+    round(6) both sides. All regexes RE2-safe (shared with the DuckDB
+    oracle).
+
+    Plan: explode lines → hash agg to (doc, line, count) — the heavy
+    dedup happens at the finest key — then a per-doc rollup. With the
+    input pre-partitioned by doc_id both aggs run in one exchange
+    (same ClusteredDistribution argument as repetition_features);
+    unpartitioned input costs one extra doc-keyed exchange of the
+    already-deduped line table.
+    """
+    c = F.col(text_col)
+    lines = (
+        df.select(id_col, F.explode(F.split(c, "\n")).alias("_raw"))
+        .select(id_col, F.trim(F.col("_raw")).alias("line"))
+        .where(F.col("line") != "")
+    )
+    g = lines.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("c"))
+    per = g.select(
+        id_col,
+        "c",
+        F.length("line").alias("_len"),
+        F.col("line").rlike("^[-*•]").cast("long").alias("_bul"),
+        F.col("line")
+        .rlike("(\\.\\.\\.|…)$")
+        .cast("long")
+        .alias("_ell"),
+        F.col("line").rlike("[.!?]$").cast("long").alias("_term"),
+        (
+            F.regexp_count(F.col("line"), F.lit(r"\S+")) < 5
+        )
+        .cast("long")
+        .alias("_short"),
+    )
+    agg = per.groupBy(id_col).agg(
+        F.sum("c").alias("_n"),
+        F.count(F.lit(1)).alias("_d"),
+        F.sum(F.col("c") * F.col("_len")).alias("_chars"),
+        F.sum("_len").alias("_dchars"),
+        F.sum(F.col("c") * F.col("_bul")).alias("_buls"),
+        F.sum(F.col("c") * F.col("_ell")).alias("_ells"),
+        F.sum(F.col("c") * F.col("_term")).alias("_terms"),
+        F.sum(F.col("c") * F.col("_short")).alias("_shorts"),
+    )
+    out = df.select(id_col).join(agg, id_col, "left")
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    chars = F.coalesce(F.col("_chars"), F.lit(0))
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+    )
+    z = lambda col: F.coalesce(col, F.lit(0))  # noqa: E731
+    return out.select(
+        id_col,
+        n.cast("long").alias("n_lines"),
+        frac(n - z(F.col("_d")), n).alias("dup_line_frac"),
+        frac(chars - z(F.col("_dchars")), chars).alias(
+            "dup_line_char_frac"
+        ),
+        frac(z(F.col("_buls")), n).alias("bullet_line_frac"),
+        frac(z(F.col("_ells")), n).alias("ellipsis_line_frac"),
+        frac(z(F.col("_terms")), n).alias("terminal_punct_line_frac"),
+        frac(z(F.col("_shorts")), n).alias("short_line_frac"),
+    )
+
+
 def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, content_sha, min_token_fp) — exact fingerprint of the
     whitespace-normalized text plus a MinHash-style single-value

@@ -894,3 +894,105 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, fp) — winnowed k-gram fingerprints (Schleimer,
+    Wilkerson & Aiken 2003 — the MOSS local fingerprinting scheme):
+    hash every k-token gram, slide a w-gram window, keep each
+    window's MINIMUM hash; the distinct per-document set of selected
+    hashes is the fingerprint.
+
+    Winnowing guarantee: any shared token run of length ≥ w+k-1
+    between two documents produces at least one shared fingerprint,
+    while only ~2/(w+1) of grams are kept — a bounded-size sketch
+    with an exact-match floor, unlike MinHash's probabilistic one.
+    Frozen edge semantics: only FULL windows select (documents with
+    fewer than k+w-1 tokens yield no fingerprints).
+
+    Hash = first 15 hex chars of md5(gram) as int64 (60-bit) — the
+    md5-prefix idiom every oracle-replicated hash in this repo uses
+    (minhash, stratified_sample): DuckDB computes identical values.
+
+    Plan: tokenize → ONE exchange per doc (row_number, the gram
+    leads, and the trailing-frame min all share the same window
+    sort) → distinct hash agg colocated with the window's
+    HashPartitioning(doc_id). Positions are deliberately dropped —
+    the fingerprint SET is what dedup joins on; join back to the
+    gram table when offsets are needed.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokenize(df, text_col, id_col)
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    t = toks
+    lead_cols = []
+    for i in range(1, k):
+        name = f"_lead{i}"
+        t = t.withColumn(name, F.lead("term", i).over(w_ord))
+        lead_cols.append(name)
+    t = t.filter(F.col(lead_cols[-1]).isNotNull())
+    gram = F.concat_ws(" ", "term", *lead_cols)
+    h = (
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    g = t.select(id_col, "pos", h).withColumn(
+        "rn", F.row_number().over(w_ord)
+    )
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("rn")
+        .rowsBetween(-(w - 1), 0)
+    )
+    sel = g.select(
+        id_col, F.min("h").over(frame).alias("fp"), "rn"
+    ).filter(F.col("rn") >= w)
+    return sel.select(id_col, "fp").distinct()
+
+
+def winnow_similar_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, shared_fps) — document pairs sharing ≥
+    min_shared winnowed fingerprints (doc_a < doc_b), the MOSS
+    copy-detection join.
+
+    ``max_fp_df``: drop fingerprints present in more than this many
+    documents before the self-join — the same B² skew guard as the
+    minhash/simhash candidate generators (a boilerplate gram shared
+    by B documents alone creates B² candidate rows; dropping it loses
+    only matches OF that boilerplate). None = exact.
+    """
+    fp = winnow_fingerprints(df, k, w, text_col, id_col)
+    if max_fp_df is not None:
+        dfreq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        fp = (
+            fp.join(dfreq.filter(F.col("_df") <= max_fp_df), "fp")
+            .select(id_col, "fp")
+        )
+    a = fp.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fp.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
