@@ -37,7 +37,9 @@ from documentindex_spark.operators import dedup  # noqa: E402
 from documentindex_spark.operators.ann import brute_force_topk  # noqa: E402
 from documentindex_spark.operators.bm25 import (  # noqa: E402
     impacts,
+    more_like_this,
     score_query,
+    tfidf_similar_pairs,
     topk,
 )
 from documentindex_spark.operators.bmw import bmw_topk  # noqa: E402
@@ -1315,6 +1317,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textstats.line_quality_features(wrapped)
 
+    def q_more_like_this(spark, sf_dir):
+        out = more_like_this(
+            _impact_df(spark, sf_dir), 7, k=10, max_query_terms=8
+        )
+        return out.select(
+            "doc_id", F.round("score", 6).alias("score"), "rank"
+        )
+
+    def q_tfidf_similar(spark, sf_dir):
+        return tfidf_similar_pairs(
+            _impact_df(spark, sf_dir), threshold=0.95
+        )
+
     def q_winnow_fps(spark, sf_dir):
         return dedup.winnow_fingerprints(_docs(spark, sf_dir)).select(
             "doc_id", F.col("fp").cast("long").alias("fp")
@@ -1748,6 +1763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii,
         "winnow_fingerprints": q_winnow_fps,
         "winnow_candidate_pairs": q_winnow_pairs,
+        "more_like_this": q_more_like_this,
+        "tfidf_similar_pairs": q_tfidf_similar,
         # -------- zone 3: rows-only by design (pytest-pinned) --------
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -2360,6 +2377,40 @@ SELECT d0.doc_id,
 FROM documents d0 LEFT JOIN a USING (doc_id)
 """,
         "pii_redaction": pii_sql,
+        "more_like_this": _ORACLE_TOKS
+        + """
+, qt AS (
+    SELECT term FROM imp WHERE doc_id = 7
+    ORDER BY round(impact, 6) DESC, term ASC LIMIT 8
+),
+scored AS (
+    SELECT doc_id, sum(impact) AS score
+    FROM imp JOIN qt USING (term)
+    WHERE doc_id <> 7
+    GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "tfidf_similar_pairs": _ORACLE_TOKS
+        + """
+, nrm AS (
+    SELECT doc_id, sqrt(sum(impact * impact)) AS norm
+    FROM imp GROUP BY 1
+),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           sum(a.impact * b.impact) AS dot
+    FROM imp a JOIN imp b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(dot / (na.norm * nb.norm), 6) AS cos
+FROM dots JOIN nrm na ON dots.doc_a = na.doc_id
+          JOIN nrm nb ON dots.doc_b = nb.doc_id
+WHERE round(dot / (na.norm * nb.norm), 6) >= 0.95
+""",
         "winnow_fingerprints": _WINNOW_CTE + r"""
 SELECT DISTINCT doc_id, fp FROM wmin WHERE rn >= 4
 """,

@@ -200,3 +200,102 @@ def topk_batch(scored: DataFrame, k: int) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def more_like_this(
+    impact_df: DataFrame,
+    src_doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 10,
+) -> DataFrame:
+    """(doc_id, score, rank) — document-as-query search (the Lucene
+    MoreLikeThis shape): the source document's terms ranked by their
+    own BM25 impact become the query, every OTHER document is scored
+    with the frozen ordered float64 sum, top-k as usual.
+
+    Term selection is deterministic: round(impact, 6) DESC, term ASC
+    (rounded on both engines so last-ulp impact ties cannot reorder
+    the selection), LIMIT max_query_terms. The selected-term table is
+    tiny by construction — broadcast to the impact scan, no collect.
+    Plan: pruned impact scan (doc_id = src) → TakeOrdered(n terms) →
+    broadcast join → one (doc_id) hash agg → TakeOrdered(k).
+    """
+    sel = (
+        impact_df.filter(F.col("doc_id") == src_doc_id)
+        .orderBy(F.desc(F.round("impact", 6)), F.asc("term"))
+        .limit(max_query_terms)
+        .select("term")
+    )
+    matched = impact_df.join(F.broadcast(sel), "term").filter(
+        F.col("doc_id") != src_doc_id
+    )
+    return topk(_ordered_sum(matched), k)
+
+
+def tfidf_similar_pairs(
+    impact_df: DataFrame,
+    threshold: float,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, cos) — all-pairs document similarity over
+    SPARSE BM25-impact vectors through the inverted index: the
+    classic "related documents" join, done the way a term-partitioned
+    index makes cheap (posting self-join on term) instead of the
+    dense-embedding crossJoin.
+
+    cos(a,b) = Σ_t w_at·w_bt / (‖a‖·‖b‖) with w = the BM25 impact
+    (tf-normalized × idf — rare shared terms dominate, ubiquitous
+    terms contribute ~nothing). Rounded to 6dp (summation order is
+    engine-unspecified; the repo-wide round-both-sides rule).
+
+    ``max_df``: drop terms with document frequency above the cap
+    BEFORE the self-join — the hot-term analog of the minhash bucket
+    guard (a term in B docs alone contributes B² join rows; idf
+    already makes such terms near-zero weight, so the cap changes
+    cos by at most the dropped terms' tiny mass). Norms are computed
+    over the SAME capped vector so the metric stays a true cosine of
+    the vectors actually joined. None = exact. At 100 TB: cap at
+    ~corpus-1% df and the join is bounded per term; everything is
+    partial-aggregated map-side on (doc_a, doc_b).
+    """
+    w = impact_df.select(id_col, "term", "impact", "df")
+    if max_df is not None:
+        w = w.filter(F.col("df") <= max_df)
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("impact") * F.col("impact"))).alias("norm")
+    )
+    a = w.select(
+        F.col(id_col).alias("doc_a"), "term", F.col("impact").alias("wa")
+    )
+    b = w.select(
+        F.col(id_col).alias("doc_b"), "term", F.col("impact").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(
+                F.col(id_col).alias("doc_a"), F.col("norm").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            norms.select(
+                F.col(id_col).alias("doc_b"), F.col("norm").alias("nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
