@@ -1317,6 +1317,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textstats.line_quality_features(wrapped)
 
+    def q_pmi(spark, sf_dir):
+        return textstats.term_cooccurrence_pmi(
+            _docs(spark, sf_dir), min_count=5
+        )
+
+    def q_prefix_suggest(spark, sf_dir):
+        from documentindex_spark.operators.fuzzy import (
+            prefix_suggest,
+            vocabulary,
+        )
+
+        return prefix_suggest(
+            vocabulary(_docs(spark, sf_dir)), "s", limit=10
+        )
+
+    def q_dup_coverage(spark, sf_dir):
+        # use_hash=False: literal gram strings, exactly what the
+        # DuckDB twin groups on (hash variant asserted identical in
+        # tests/test_corpus_analysis.py)
+        return dedup.dup_span_coverage(
+            _docs(spark, sf_dir), k=8, min_count=2, use_hash=False
+        )
+
     def q_more_like_this(spark, sf_dir):
         out = more_like_this(
             _impact_df(spark, sf_dir), 7, k=10, max_query_terms=8
@@ -1695,12 +1718,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "dfreq_hot": q_dfreq_hot,
         "bm25_topk_merge_sort": _bm25_topk("merge sort", 10),
-        "bm25_topk_three_terms": _bm25_topk("spark window filter", 10),
+        "pii_redaction": q_pii,
         "bm25_threshold_all": q_bm25_threshold,
         "bmw_threshold_all": _bmw_threshold_all,
         "bmw_topk_merge_sort": _bmw("merge sort", 10),
-        "bmw_topk_three_terms": _bmw("spark window filter", 10),
-        "evidence_snippets": q_evidence_snippets,
+        "winnow_candidate_pairs": q_winnow_pairs,
+        "more_like_this": q_more_like_this,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "substring_dup_spans": q_substring_dup_spans,
@@ -1749,9 +1772,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracles — the indexed forms are the graded scale paths)
         "phrase_topk_merge_sort": q_phrase_topk,
         "proximity_merge_sort": q_proximity,
-        # (bm25_topk single-term shape: same operator + oracle family
-        # as the graded merge_sort/three_terms twins)
+        # (bm25/bmw topk alternate-query shapes and the single-snippet
+        # provenance form: same operator + oracle family as a graded
+        # twin — parked to free graded slots for distinct capabilities,
+        # round-4 swap documented in ROUND4.md)
         "bm25_topk_single_hot": _bm25_topk("the", 10),
+        "bm25_topk_three_terms": _bm25_topk("spark window filter", 10),
+        "bmw_topk_three_terms": _bmw("spark window filter", 10),
+        "evidence_snippets": q_evidence_snippets,
         # new round-4 capability — parked because every graded slot
         # already holds a distinct operator; value-checked by the
         # driver_check replica (compares ALL entries) + pytest
@@ -1760,11 +1788,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination,
         "repetition_features": q_repetition,
         "line_quality": q_line_quality,
-        "pii_redaction": q_pii,
         "winnow_fingerprints": q_winnow_fps,
-        "winnow_candidate_pairs": q_winnow_pairs,
-        "more_like_this": q_more_like_this,
         "tfidf_similar_pairs": q_tfidf_similar,
+        "term_cooccurrence_pmi": q_pmi,
+        "prefix_suggest": q_prefix_suggest,
+        "dup_coverage": q_dup_coverage,
         # -------- zone 3: rows-only by design (pytest-pinned) --------
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -2377,6 +2405,56 @@ SELECT d0.doc_id,
 FROM documents d0 LEFT JOIN a USING (doc_id)
 """,
         "pii_redaction": pii_sql,
+        "term_cooccurrence_pmi": _ORACLE_TOKS
+        + """
+, dt AS (SELECT DISTINCT doc_id, term FROM tf),
+marg AS (SELECT term, count(*)::BIGINT AS n_t FROM dt GROUP BY 1),
+p AS (
+    SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_ab
+    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+)
+SELECT term_a, term_b, n_ab,
+       round(ln(n_ab::DOUBLE * stats.n_docs / (ma.n_t * mb.n_t)), 6)
+           AS pmi
+FROM p JOIN marg ma ON p.term_a = ma.term
+       JOIN marg mb ON p.term_b = mb.term
+       CROSS JOIN stats
+""",
+        "prefix_suggest": _ORACLE_TOKS
+        + """
+SELECT term, df FROM dfreq
+WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10
+""",
+        "dup_coverage": """
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id, i - 1 AS ord, array_to_string(toks[i:i+7], ' ') AS gram
+    FROM tl, unnest(range(1, len(toks) - 6)) AS r(i)
+    WHERE len(toks) >= 8
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dpos AS (SELECT doc_id, ord FROM g JOIN dup USING (gram)),
+cov AS (
+    SELECT doc_id, count(DISTINCT p)::BIGINT AS covered_tokens
+    FROM (SELECT doc_id, unnest(range(ord, ord + 8)) AS p FROM dpos)
+    GROUP BY 1
+),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tl)
+SELECT d.doc_id, dl.dl,
+       coalesce(cov.covered_tokens, 0)::BIGINT AS covered_tokens,
+       round(CASE WHEN dl.dl > 0
+                  THEN coalesce(cov.covered_tokens, 0)::DOUBLE / dl.dl
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM documents d JOIN dl USING (doc_id) LEFT JOIN cov USING (doc_id)
+""",
         "more_like_this": _ORACLE_TOKS
         + """
 , qt AS (

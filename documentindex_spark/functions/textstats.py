@@ -380,6 +380,91 @@ def line_quality_features(
     )
 
 
+def term_cooccurrence_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term_a, term_b, n_ab, pmi) — document-level term
+    co-occurrence with pointwise mutual information
+    ``ln(n_ab·N / (n_a·n_b))`` (N = corpus document count): the
+    related-terms / collocation signal behind query suggestion and
+    topic drift monitoring.
+
+    Frozen semantics: presence-based (distinct doc-term — tf
+    multiplicity is ignored), unordered pairs with term_a < term_b,
+    pairs kept when n_ab ≥ min_count; round(6).
+
+    ``max_df``: drop terms present in more than max_df documents
+    before pairing — the hot-term guard (a term in B docs joins into
+    B·T pair rows; ubiquitous terms also carry no PMI signal, their
+    PMI → ln(n_ab·N/(n_a·n_b)) ≈ 0⁻). None = exact.
+
+    Plan: one distinct agg to (doc, term), doc-keyed self-join (the
+    pair explosion is per-doc T² — bounded by max_df at scale), one
+    (a,b) hash agg with map-side combine, two broadcast-size joins
+    for the marginals, N via a broadcast 1-row aggregate.
+    """
+    dt = (
+        tokenize(df, text_col, id_col)
+        .select(id_col, "term")
+        .distinct()
+    )
+    if max_df is not None:
+        hot = (
+            dt.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("term")
+        )
+        dt = dt.join(hot, "term")
+    ca = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    nd = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = dt.select(F.col(id_col).alias("_d"), F.col("term").alias("term_a"))
+    b = dt.select(F.col(id_col).alias("_d"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "_d")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                ca.select(
+                    F.col("term").alias("term_a"), F.col("n_t").alias("n_a")
+                )
+            ),
+            "term_a",
+        )
+        .join(
+            F.broadcast(
+                ca.select(
+                    F.col("term").alias("term_b"), F.col("n_t").alias("n_b")
+                )
+            ),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("n_docs")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, content_sha, min_token_fp) — exact fingerprint of the
     whitespace-normalized text plus a MinHash-style single-value

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.tokenize import tokenize
+from ..functions.tokenize import doc_token_counts, tokenize
 
 # ------------------------------------------------------------- exact
 
@@ -49,6 +49,103 @@ def exact_duplicates(
 
 
 # ----------------------------------------------- exact substring spans
+
+
+def _duplicated_gram_positions(
+    df: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    use_hash: bool,
+    min_count: int,
+) -> DataFrame:
+    """(id, ord, gram_key) for positional k-grams whose gram occurs ≥
+    min_count times corpus-wide — steps 1-3 of exact_substring_spans,
+    shared with dup_span_coverage."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    t = tokenize(df, text_col, id_col).withColumn(
+        "ord", F.row_number().over(w) - 1
+    )
+    lead_cols = []
+    for i in range(1, k):
+        name = f"_lead{i}"
+        t = t.withColumn(name, F.lead("term", i).over(w))
+        lead_cols.append(name)
+    if lead_cols:
+        t = t.filter(F.col(lead_cols[-1]).isNotNull())
+    gram = F.concat_ws(" ", "term", *lead_cols)
+    key = F.xxhash64(gram) if use_hash else gram
+    g = t.select(id_col, "ord", key.alias("gram_key"))
+    dup_keys = (
+        g.groupBy("gram_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("gram_key")
+    )
+    return g.join(dup_keys, "gram_key", "left_semi")
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_hash: bool = True,
+) -> DataFrame:
+    """(doc_id, dl, covered_tokens, dup_frac) — per-document NOVELTY
+    signal: the fraction of token positions lying inside at least one
+    corpus-duplicated k-gram (the scalar the Lee et al. 2022 span
+    table rolls up to; 1.0 = the document is pure boilerplate, 0.0 =
+    entirely novel text). The usual curation gate keeps documents
+    below a dup_frac ceiling instead of dropping whole near-dup docs.
+
+    Coverage is the UNION of the duplicated grams' [ord, ord+k-1]
+    token intervals (sequence-explode → distinct position), not the
+    sum of span lengths — adjacent islands' k−1-token overlaps are
+    not double-counted. dl counts every token (zero-token docs keep
+    dl=0, dup_frac 0.0); round(6) both sides.
+
+    Plan: shares _duplicated_gram_positions with
+    exact_substring_spans (one window pass + one gram-count shuffle);
+    the position explode is ≤ k rows per duplicated gram, distinct'd
+    on the doc-partitioned key.
+    """
+    dpos = _duplicated_gram_positions(
+        df, k, text_col, id_col, use_hash, min_count
+    )
+    covered = (
+        dpos.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("ord"), F.col("ord") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    dl = doc_token_counts(df, text_col, id_col)
+    return (
+        dl.join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.col("dl").cast("long").alias("dl"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.round(
+                F.when(
+                    F.col("dl") > 0,
+                    F.coalesce(F.col("covered_tokens"), F.lit(0))
+                    / F.col("dl"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
 
 
 def exact_substring_spans(
@@ -89,27 +186,7 @@ def exact_substring_spans(
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(id_col).orderBy("pos")
-    t = tokenize(df, text_col, id_col).withColumn(
-        "ord", F.row_number().over(w) - 1
-    )
-    lead_cols = []
-    for i in range(1, k):
-        name = f"_lead{i}"
-        t = t.withColumn(name, F.lead("term", i).over(w))
-        lead_cols.append(name)
-    if lead_cols:
-        t = t.filter(F.col(lead_cols[-1]).isNotNull())
-    gram = F.concat_ws(" ", "term", *lead_cols)
-    key = F.xxhash64(gram) if use_hash else gram
-    g = t.select(id_col, "ord", key.alias("gram_key"))
-    dup_keys = (
-        g.groupBy("gram_key")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= min_count)
-        .select("gram_key")
-    )
-    dpos = g.join(dup_keys, "gram_key", "left_semi")
+    dpos = _duplicated_gram_positions(df, k, text_col, id_col, use_hash, min_count)
     w2 = Window.partitionBy(id_col).orderBy("ord")
     isl = dpos.withColumn(
         "_grp", F.col("ord") - (F.row_number().over(w2) - 1)

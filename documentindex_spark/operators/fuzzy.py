@@ -107,3 +107,24 @@ def fuzzy_term_matches(
     # vocab side: one Generate — i == len(term) keeps the term itself
     cand = vocab_variants(vocab).join(F.broadcast(qvar), "variant")
     return _verify_candidates(cand, max_dist)
+
+
+def prefix_suggest(
+    vocab: DataFrame, prefix: str, limit: int = 20
+) -> DataFrame:
+    """(term, df) — autocomplete/typeahead: vocabulary terms starting
+    with ``prefix``, ranked by document frequency DESC with the term
+    itself as the deterministic tie-break, LIMIT ``limit``.
+
+    ``vocab`` is any (term, df) table — the corpus `vocabulary()`,
+    or the stored fuzzy sidecar's identity rows (variant = term, so
+    its first-char partitioning prunes to the prefix's partition).
+    The startswith predicate plans as a pushable StartsWith filter;
+    the top-k is a TakeOrderedAndProject — no global sort.
+    """
+    return (
+        vocab.filter(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(limit)
+        .select("term", F.col("df").cast("long").alias("df"))
+    )
