@@ -1317,6 +1317,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textstats.line_quality_features(wrapped)
 
+    def q_sentence_dedup(spark, sf_dir):
+        # The synthetic corpus has no sentence punctuation; both twins
+        # inject a period after every 10th word (RE2-safe wrap, same
+        # trick as line_quality) so the sentence machinery is real.
+        docs = _docs(spark, sf_dir)
+        dotted = docs.select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("text"), r"((\S+ ){9}\S+) ", "$1. "
+            ).alias("text"),
+        )
+        out = dedup.drop_duplicate_sentences(dotted)
+        return out.select(
+            "doc_id",
+            "n_sentences",
+            "n_dropped",
+            F.sha2(F.col("text_clean"), 256).alias("clean_sha"),
+        )
+
+    def q_doc_keywords(spark, sf_dir):
+        from documentindex_spark.operators.bm25 import doc_keywords
+
+        return doc_keywords(_impact_df(spark, sf_dir), n=5)
+
     def q_pmi(spark, sf_dir):
         return textstats.term_cooccurrence_pmi(
             _docs(spark, sf_dir), min_count=5
@@ -1793,6 +1817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cooccurrence_pmi": q_pmi,
         "prefix_suggest": q_prefix_suggest,
         "dup_coverage": q_dup_coverage,
+        "doc_keywords": q_doc_keywords,
+        "sentence_dedup": q_sentence_dedup,
         # -------- zone 3: rows-only by design (pytest-pinned) --------
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -2405,6 +2431,56 @@ SELECT d0.doc_id,
 FROM documents d0 LEFT JOIN a USING (doc_id)
 """,
         "pii_redaction": pii_sql,
+        "sentence_dedup": r"""
+WITH dotted AS (
+    SELECT doc_id,
+           regexp_replace(text, '((\S+ ){9}\S+) ', '\1. ', 'g') AS text
+    FROM documents
+),
+sen0 AS (
+    SELECT doc_id,
+           string_split(
+               regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g'),
+               chr(30)) AS arr
+    FROM dotted
+),
+sen AS (
+    SELECT doc_id, i - 1 AS pos, trim(arr[i]) AS sentence
+    FROM sen0, unnest(range(1, len(arr) + 1)) AS r(i)
+    WHERE trim(arr[i]) <> ''
+),
+ranked AS (
+    SELECT doc_id, pos, sentence,
+           row_number() OVER (
+               PARTITION BY sentence ORDER BY doc_id, pos) AS rn
+    FROM sen
+),
+kept AS (
+    SELECT doc_id,
+           string_agg(sentence, ' ' ORDER BY pos) AS text_clean,
+           count(*)::BIGINT AS kept
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_sentences FROM sen GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(n_sentences, 0)::BIGINT AS n_sentences,
+       (coalesce(n_sentences, 0) - coalesce(kept, 0))::BIGINT AS n_dropped,
+       sha256(coalesce(text_clean, '')) AS clean_sha
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN kept USING (doc_id)
+""",
+        "doc_keywords": _ORACLE_TOKS
+        + """
+, ranked AS (
+    SELECT doc_id, term, round(impact, 6) AS impact,
+           row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(impact, 6) DESC, term ASC
+           ) AS keyword_rank
+    FROM imp
+)
+SELECT doc_id, keyword_rank, term, impact
+FROM ranked WHERE keyword_rank <= 5
+""",
         "term_cooccurrence_pmi": _ORACLE_TOKS
         + """
 , dt AS (SELECT DISTINCT doc_id, term FROM tf),

@@ -226,6 +226,124 @@ class Engine:
         """search() over the typo-corrected query."""
         return self.search(self.correct_query(query), k=k)
 
+    def more_like_this(
+        self, doc_id: int, k: int = TOPK_DEFAULT, max_query_terms: int = 10
+    ) -> DataFrame:
+        """(doc_id, score, rank) — documents most similar to
+        ``doc_id``, served from STORED artifacts only (the Lucene
+        MoreLikeThis shape over this engine's index):
+
+        1. the source doc's (term, tf) rows — a doc_id-pruned scan of
+           the checkpointed tf table (parquet predicate pushdown);
+        2. its dl from the stored dl table, df per term from the
+           postings themselves (bucket-pruned, same predicate shape
+           as the bmw paths) — enough to recompute the doc's own
+           impacts exactly;
+        3. top-``max_query_terms`` terms by round(impact,6) DESC /
+           term ASC become the query (a handful of strings — the one
+           driver-side collect, bounded by max_query_terms);
+        4. BMW top-(k+1) over the compressed index, source excluded,
+           ranks recomputed.
+
+        Identical results to the exhaustive operator
+        ``bm25.more_like_this`` over the same corpus
+        (tests/test_similarity.py::test_engine_mlt_matches_operator):
+        both score the same selected terms with the same frozen sum —
+        BMW is exact.
+        """
+        import os
+
+        from pyspark.sql.window import Window
+
+        from .operators.bm25 import idf_col, tf_norm_col
+        from .operators.postings import term_bucket
+
+        out_dir = self.built.out_dir
+        tf = (
+            self.spark.read.parquet(os.path.join(out_dir, "tf"))
+            .filter(F.col("doc_id") == doc_id)
+        )
+        dl_row = (
+            self.spark.read.parquet(os.path.join(out_dir, "dl"))
+            .filter(F.col("doc_id") == doc_id)
+            .collect()
+        )
+        if not dl_row:
+            raise ValueError(f"doc_id {doc_id} not in index")
+        dl = float(dl_row[0]["dl"])
+        terms = [r["term"] for r in tf.select("term").distinct().collect()]
+        if not terms:
+            from pyspark.sql import types as T
+
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("doc_id", T.LongType()),
+                        T.StructField("score", T.DoubleType()),
+                        T.StructField("rank", T.IntegerType()),
+                    ]
+                ),
+            )
+        buckets = sorted({term_bucket(t) for t in terms})
+        dfreq = (
+            self._postings.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+            .groupBy("term")
+            .agg(F.max("df").alias("df"))
+        )
+        sel = (
+            tf.join(dfreq, "term")
+            .select(
+                "term",
+                (
+                    idf_col(F.col("df").cast("double"), self.built.n_docs)
+                    * tf_norm_col(
+                        F.col("tf").cast("double"),
+                        F.lit(dl),
+                        self.built.avgdl,
+                    )
+                ).alias("impact"),
+            )
+            .orderBy(F.desc(F.round("impact", 6)), F.asc("term"))
+            .limit(max_query_terms)
+            .collect()
+        )
+        query = " ".join(r["term"] for r in sel)
+        hits = self.search(query, k + 1).filter(
+            F.col("doc_id") != doc_id
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            hits.drop("rank")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    def suggest(self, prefix: str, limit: int = 20) -> DataFrame:
+        """(term, df) — autocomplete over the index vocabulary, ranked
+        df DESC with the term as deterministic tie-break.
+
+        Serving path: the stored fuzzy sidecar's IDENTITY rows
+        (variant == term carry every vocab term with its df), pruned
+        to the prefix's single first-character partition
+        (PartitionFilters — the same pruning correct_query uses), so
+        a suggestion never scans the vocabulary."""
+        from .operators.fuzzy import prefix_suggest
+
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        vocab = (
+            self.spark.read.parquet(self._fuzzy_table())
+            .filter(
+                (F.col("v1") == prefix[0])
+                & (F.col("variant") == F.col("term"))
+            )
+            .select("term", "df")
+        )
+        return prefix_suggest(vocab, prefix, limit=limit)
+
     def search_serve(self, query: str, k: int = TOPK_DEFAULT):
         """Low-latency driver-side top-k → [(doc_id, score)]."""
         return bmw_serve(self._postings, query, k=k)

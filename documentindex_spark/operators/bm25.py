@@ -299,3 +299,30 @@ def tfidf_similar_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def doc_keywords(impact_df: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, keyword_rank, term, impact) — each document's top-n
+    terms by its own BM25 impact: the per-document keyword profile
+    (document tagging / faceting; also exactly the term-selection
+    stage of more_like_this, exposed as a standalone table).
+
+    Deterministic: rank orders by round(impact, 6) DESC then term ASC
+    (the same last-ulp-proof tie-break as more_like_this). One
+    doc-keyed window shuffle; emitted impact is the rounded value.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("impact", 6)), F.asc("term")
+    )
+    return (
+        impact_df.withColumn("keyword_rank", F.row_number().over(w))
+        .filter(F.col("keyword_rank") <= n)
+        .select(
+            "doc_id",
+            "keyword_rank",
+            "term",
+            F.round("impact", 6).alias("impact"),
+        )
+    )

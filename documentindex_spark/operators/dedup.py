@@ -973,6 +973,88 @@ def embedding_near_duplicates(
     )
 
 
+# ------------------------------------------------- sentence dedup (C4)
+
+
+def drop_duplicate_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text_clean, n_sentences, n_dropped) — corpus-wide
+    sentence-level deduplication, the C4 cleanup step (Raffel et al.
+    2020 §2.2 dedups at occurrence granularity): every occurrence of
+    a sentence that already appeared earlier in the corpus is removed
+    and the document text is reassembled from what remains.
+
+    Frozen semantics: sentences split on the RE2-safe boundary
+    (replace ``([.!?])\\s+`` with the terminator + US control char,
+    split — backref-free pattern, replacement-side group only, the
+    same idiom as the chunker); trimmed, empties dropped; "first"
+    is the global (doc_id ASC, pos ASC) occurrence, so in-document
+    repeats drop too; reassembly joins survivors with a single space
+    in original position order.
+
+    Plan: one explode → ONE sentence-keyed window (row_number picks
+    the global first — at 100 TB this is the only heavy shuffle, on
+    the sentence key space) → doc-keyed rebuild agg
+    (array_sort(collect_list(struct(pos, sentence))) keeps the fold
+    deterministic). Documents whose every sentence drops keep a row
+    with text_clean = '' (the caller decides whether to cull).
+    """
+    from pyspark.sql.window import Window
+
+    sep = "\x1e"
+    marked = F.regexp_replace(
+        F.col(text_col), r"([.!?])\s+", "$1" + sep
+    )
+    sen = (
+        df.select(
+            id_col, F.posexplode(F.split(marked, sep)).alias("pos", "_raw")
+        )
+        .select(id_col, "pos", F.trim(F.col("_raw")).alias("sentence"))
+        .where(F.col("sentence") != "")
+    )
+    w = Window.partitionBy("sentence").orderBy(
+        F.asc(id_col), F.asc("pos")
+    )
+    ranked = sen.withColumn("_rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "sentence"))
+                ),
+                lambda x: x["sentence"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = sen.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sentences")
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("n_sentences"), F.lit(0))
+            .cast("long")
+            .alias("n_sentences"),
+            (
+                F.coalesce(F.col("n_sentences"), F.lit(0))
+                - F.coalesce(F.col("_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
 # ---------------------------------------------------------- winnowing
 
 

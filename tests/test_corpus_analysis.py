@@ -169,3 +169,51 @@ class TestDupCoverage:
             )
         )
         assert a == b
+
+
+class TestSentenceDedup:
+    def test_global_first_occurrence_kept(self, spark):
+        from documentindex_spark.operators.dedup import (
+            drop_duplicate_sentences,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "Alpha beta gamma. Shared footer text here. Tail zero."),
+                (1, "Shared footer text here. Unique middle part! Tail one."),
+                (2, "Shared footer text here. Shared footer text here."),
+                (3, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in drop_duplicate_sentences(docs).collect()
+        }
+        assert out[0]["text_clean"] == (
+            "Alpha beta gamma. Shared footer text here. Tail zero."
+        )
+        assert out[0]["n_dropped"] == 0
+        # doc 1 loses the footer (doc 0 owns the first occurrence)
+        assert out[1]["text_clean"] == "Unique middle part! Tail one."
+        assert out[1]["n_dropped"] == 1
+        # doc 2: BOTH occurrences drop (in-document repeat of a
+        # sentence first seen in doc 0)
+        assert out[2]["text_clean"] == ""
+        assert out[2]["n_dropped"] == 2
+        assert out[3]["n_sentences"] == 0
+        assert out[3]["text_clean"] == ""
+
+    def test_in_document_repeat_keeps_first(self, spark):
+        from documentindex_spark.operators.dedup import (
+            drop_duplicate_sentences,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "Same line here. Same line here. Same line here.")],
+            ["doc_id", "text"],
+        )
+        out = drop_duplicate_sentences(docs).collect()[0]
+        assert out["text_clean"] == "Same line here."
+        assert out["n_sentences"] == 3
+        assert out["n_dropped"] == 2

@@ -143,3 +143,38 @@ def test_teh_the_is_distance_two_documented(vocab_df):
     }
     assert ("teh", "the") not in got  # plain levenshtein: distance 2
     assert ("teh", "tea") in got  # substitution: distance 1
+
+
+def test_engine_suggest_prefix(spark, tmp_path):
+    """Engine.suggest: identity rows of the stored sidecar, pruned to
+    the prefix's first-char partition, df-ranked with term tiebreak."""
+    from documentindex_spark.api import Engine
+    from documentindex_spark.sources.registry import with_doc_ids
+
+    rows = [
+        ("r0", "p0", "c", "en", "sort sorted spark sort"),
+        ("r1", "p1", "c", "en", "sort spark scan"),
+        ("r2", "p2", "c", "en", "scan sorted"),
+        ("r3", "p3", "c", "en", "other words"),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    idx = str(tmp_path / "idx")
+    eng = Engine.index(spark, with_doc_ids(docs), idx, input_id="t",
+                       bucket_groups=1)
+    got = [(r["term"], r["df"]) for r in eng.suggest("s", limit=3).collect()]
+    assert got == [("scan", 2), ("sort", 2), ("sorted", 2)]
+    assert [r["term"] for r in eng.suggest("sor").collect()] == [
+        "sort", "sorted",
+    ]
+    # partition pruning: the scan touches only the prefix's partition
+    plan = eng.suggest("s")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        eng.suggest("")
+    eng.close()

@@ -132,3 +132,91 @@ def test_tfidf_max_df_guard(impact_df, orc, local_docs):
             if c >= th:
                 want[(a, b)] = c
     assert set(got) == set(want)
+
+
+def test_doc_keywords_matches_oracle(impact_df, orc, local_docs):
+    from documentindex_spark.operators.bm25 import doc_keywords
+
+    got = {}
+    for r in doc_keywords(impact_df, n=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["keyword_rank"], r["term"], r["impact"])
+        )
+    for d in local_docs:
+        terms = sorted(
+            orc.tf[d].keys(),
+            key=lambda t: (-round(orc.impact(t, d), 6), t),
+        )[:3]
+        want = [
+            (i + 1, t, round(orc.impact(t, d), 6))
+            for i, t in enumerate(terms)
+        ]
+        rows = sorted(got.get(d, []))
+        assert [(r[0], r[1]) for r in rows] == [(w[0], w[1]) for w in want]
+        for r, w in zip(rows, want):
+            assert r[2] == pytest.approx(w[2], abs=1e-6)
+
+
+def test_engine_mlt_matches_operator(spark, tmp_path):
+    """Engine.more_like_this (stored tf/dl/postings-df + BMW) returns
+    exactly what the exhaustive operator computes from the impact
+    table — same docs, ranks, and float64 scores."""
+    from documentindex_spark.api import Engine
+    from documentindex_spark.functions.tokenize import (
+        doc_lengths as dls,
+    )
+    from documentindex_spark.functions.tokenize import (
+        term_frequencies as tfs,
+    )
+    from documentindex_spark.operators.stats import (
+        corpus_stats as cs,
+    )
+    from documentindex_spark.operators.stats import (
+        document_frequencies as dfs,
+    )
+    from documentindex_spark.sources.registry import with_doc_ids
+
+    rows = [
+        ("r%d" % i, "p%d" % i, "c", "en", txt)
+        for i, txt in enumerate(
+            [
+                "merge sort window data function example text",
+                "merge sort data window text value",
+                "window filter example function value batch",
+                "sort merge batch data example",
+                "completely different words entirely elsewhere",
+                "merge window sort function text example data",
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    files = with_doc_ids(docs)
+    idx = str(tmp_path / "idx")
+    eng = Engine.index(spark, files, idx, input_id="mlt-t",
+                       bucket_groups=1)
+
+    tf = tfs(files)
+    dl = dls(files)
+    imp = impacts(tf, dl, dfs(tf), cs(dl))
+
+    for src in (0, 3):
+        got = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in eng.more_like_this(src, k=4, max_query_terms=5)
+            .collect()
+        ]
+        want = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in more_like_this(imp, src, k=4, max_query_terms=5)
+            .collect()
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert [g[2] for g in got] == [w[2] for w in want]
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], abs=1e-12)
+        assert all(g[0] != src for g in got)
+    eng.close()
