@@ -218,13 +218,16 @@ def repetition_features(
       dup_5gram_frac = (n 5-grams − distinct 5-grams) / n 5-grams
     All fractions 0.0 when the denominator is 0; round(6) both sides.
 
-    Plan shape: tokenize → ONE window sort per doc (lead 1..4 builds
-    every gram level from the same pass) → per-gram hash aggs. The
-    window's HashPartitioning(doc_id) satisfies every downstream
-    ClusteredDistribution(doc_id, gram) (partition keys ⊆ grouping
-    keys), so the gram aggs plan no further exchange, and Spark's
-    ReuseExchange dedupes the shared window subtree across the four
-    branches — one real shuffle of token rows at 100 TB.
+    Plan shape (ONE real shuffle — plan-audited, PLANS.md §7): the
+    four gram levels are not four sibling aggregations over four
+    copies of the window subtree (the naive form plans 5 exchanges —
+    the branches prune different lead columns, so even ReuseExchange
+    can't collapse them). Instead one window pass builds every lead,
+    ``stack`` unpivots each token row into its (level, gram) rows
+    in-stage, and both the (doc, level, gram) count and the per-doc
+    conditional rollup colocate with the window's
+    HashPartitioning(doc_id) (partition keys ⊆ grouping keys ⇒ no
+    further exchange). The 4× row expansion never shuffles.
     """
     from pyspark.sql.window import Window
 
@@ -237,47 +240,45 @@ def repetition_features(
         F.lead("term", 3).over(w).alias("_w3"),
         F.lead("term", 4).over(w).alias("_w4"),
     )
-    cw = (
-        t.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.sum("c").alias("_n"), F.max("c").alias("_mw"))
+    # gram columns are NULL on incomplete tails (concat_ws skips
+    # NULLs, so guard explicitly), and stack rows with NULL grams are
+    # filtered — exactly the per-level WHERE of the naive form.
+    t = t.select(
+        id_col,
+        "term",
+        F.when(
+            F.col("_w1").isNotNull(),
+            F.concat_ws(" ", "term", "_w1"),
+        ).alias("_g2"),
+        F.when(
+            F.col("_w2").isNotNull(),
+            F.concat_ws(" ", "term", "_w1", "_w2"),
+        ).alias("_g3"),
+        F.when(
+            F.col("_w4").isNotNull(),
+            F.concat_ws(" ", "term", "_w1", "_w2", "_w3", "_w4"),
+        ).alias("_g5"),
     )
-    g2 = (
-        t.where(F.col("_w1").isNotNull())
-        .groupBy(id_col, F.concat_ws(" ", "term", "_w1").alias("g"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("_m2"))
+    lv = t.select(
+        id_col,
+        F.expr(
+            "stack(4, 'w', term, '2', _g2, '3', _g3, '5', _g5) "
+            "AS (lvl, gram)"
+        ),
+    ).where(F.col("gram").isNotNull())
+    counts = lv.groupBy(id_col, "lvl", "gram").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    g3 = (
-        t.where(F.col("_w2").isNotNull())
-        .groupBy(
-            id_col, F.concat_ws(" ", "term", "_w1", "_w2").alias("g")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("_m3"))
+    lvl = F.col("lvl")
+    agg = counts.groupBy(id_col).agg(
+        F.sum(F.when(lvl == "w", F.col("c"))).alias("_n"),
+        F.max(F.when(lvl == "w", F.col("c"))).alias("_mw"),
+        F.max(F.when(lvl == "2", F.col("c"))).alias("_m2"),
+        F.max(F.when(lvl == "3", F.col("c"))).alias("_m3"),
+        F.sum(F.when(lvl == "5", F.col("c"))).alias("_n5"),
+        F.count(F.when(lvl == "5", F.col("c"))).alias("_d5"),
     )
-    g5 = (
-        t.where(F.col("_w4").isNotNull())
-        .groupBy(
-            id_col,
-            F.concat_ws(
-                " ", "term", "_w1", "_w2", "_w3", "_w4"
-            ).alias("g"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.sum("c").alias("_n5"), F.count(F.lit(1)).alias("_d5"))
-    )
-    out = (
-        df.select(id_col)
-        .join(cw, id_col, "left")
-        .join(g2, id_col, "left")
-        .join(g3, id_col, "left")
-        .join(g5, id_col, "left")
-    )
+    out = df.select(id_col).join(agg, id_col, "left")
     n = F.coalesce(F.col("_n"), F.lit(0))
     frac = lambda num, den: F.round(  # noqa: E731
         F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
@@ -402,14 +403,26 @@ def term_cooccurrence_pmi(
     B·T pair rows; ubiquitous terms also carry no PMI signal, their
     PMI → ln(n_ab·N/(n_a·n_b)) ≈ 0⁻). None = exact.
 
-    Plan: one distinct agg to (doc, term), doc-keyed self-join (the
-    pair explosion is per-doc T² — bounded by max_df at scale), one
-    (a,b) hash agg with map-side combine, two broadcast-size joins
-    for the marginals, N via a broadcast 1-row aggregate.
+    Plan (audited, PLANS.md §7): ONE doc-keyed repartition serves the
+    distinct (HashPartitioning(doc) satisfies Clustered(doc, term)),
+    the self-join (both sides share the partitioning — no join
+    exchange; at small scale Catalyst may even broadcast one side),
+    and its per-doc T² pair expansion stays in-stage; the only other
+    shuffles are the (a,b) pair agg (map-side combined) and the
+    marginal term agg — 3 DISTINCT shuffles total (the static plan
+    prints the shared dt subtree once per consumer; AQE exchange
+    reuse dedupes them at runtime). max_df bounds the per-doc
+    expansion at scale.
     """
+    spark = df.sparkSession
+    n_part = max(
+        df.rdd.getNumPartitions(),
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     dt = (
         tokenize(df, text_col, id_col)
         .select(id_col, "term")
+        .repartition(n_part, id_col)
         .distinct()
     )
     if max_df is not None:
@@ -419,7 +432,8 @@ def term_cooccurrence_pmi(
             .filter(F.col("_df") <= max_df)
             .select("term")
         )
-        dt = dt.join(hot, "term")
+        # broadcast keeps dt's doc partitioning for the self-join
+        dt = dt.join(F.broadcast(hot), "term")
     ca = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
     nd = df.agg(F.count(F.lit(1)).alias("n_docs"))
     a = dt.select(F.col(id_col).alias("_d"), F.col("term").alias("term_a"))

@@ -995,15 +995,16 @@ def drop_duplicate_sentences(
     repeats drop too; reassembly joins survivors with a single space
     in original position order.
 
-    Plan: one explode → ONE sentence-keyed window (row_number picks
-    the global first — at 100 TB this is the only heavy shuffle, on
-    the sentence key space) → doc-keyed rebuild agg
+    Plan: one explode → ONE sentence-keyed hash agg whose
+    ``min(struct(doc_id, pos))`` IS the kept occurrence — the agg is
+    partial+final (map-side combine), so a boilerplate sentence
+    repeated a billion times collapses per input partition instead of
+    landing on one window task (a sentence-keyed row_number window
+    would skew exactly there) → doc-keyed rebuild agg
     (array_sort(collect_list(struct(pos, sentence))) keeps the fold
     deterministic). Documents whose every sentence drops keep a row
     with text_clean = '' (the caller decides whether to cull).
     """
-    from pyspark.sql.window import Window
-
     sep = "\x1e"
     marked = F.regexp_replace(
         F.col(text_col), r"([.!?])\s+", "$1" + sep
@@ -1015,11 +1016,15 @@ def drop_duplicate_sentences(
         .select(id_col, "pos", F.trim(F.col("_raw")).alias("sentence"))
         .where(F.col("sentence") != "")
     )
-    w = Window.partitionBy("sentence").orderBy(
-        F.asc(id_col), F.asc("pos")
+    kept = (
+        sen.groupBy("sentence")
+        .agg(F.min(F.struct(id_col, "pos")).alias("_first"))
+        .select(
+            F.col(f"_first.{id_col}").alias(id_col),
+            F.col("_first.pos").alias("pos"),
+            "sentence",
+        )
     )
-    ranked = sen.withColumn("_rn", F.row_number().over(w))
-    kept = ranked.filter(F.col("_rn") == 1)
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
