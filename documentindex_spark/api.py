@@ -27,6 +27,7 @@ coverage-based confidence, the same result envelope
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,6 +74,12 @@ class Engine:
         self.docs = docs
         self.text_col = text_col
         self._postings = spark.read.parquet(built.postings_path)
+        # Lucene-style tombstones (plans/delete.py): every query path
+        # skips these doc_ids; surviving docs keep their exact
+        # pre-delete scores until compact() rewrites the index.
+        from .plans.delete import load_tombstones
+
+        self._deleted: frozenset = load_tombstones(spark, built.out_dir)
         # query-result cache (reference searcher.py:287-342 caches
         # results keyed (doc, sha256(query)) with TTL, cache.py:267-288;
         # an index build is immutable, so LRU capacity replaces TTL —
@@ -137,6 +144,42 @@ class Engine:
         release_id_caches(scope=self.built.out_dir)
         self._result_cache.clear()
 
+    # --------------------------------------------------------- delete
+
+    def delete(self, doc_ids) -> int:
+        """Tombstone ``doc_ids`` (reference: per-doc index removal,
+        cache.py:361 ``delete_index``; here = Lucene's two-phase
+        delete, plans/delete.py): every query path on this engine —
+        search / serve / cached / provenance — skips them from now
+        on, with zero index rewrite. Remaining docs keep their exact
+        pre-delete scores (stats stay stale) until ``compact()``.
+        Returns the total distinct tombstone count. Persistent:
+        a later ``Engine.open`` on the same index dir sees them."""
+        from .plans.delete import delete_documents, load_tombstones
+
+        delete_documents(self.spark, self.built.out_dir, doc_ids)
+        self._deleted = load_tombstones(self.spark, self.built.out_dir)
+        self._result_cache.clear()  # cached results may contain them
+        return len(self._deleted)
+
+    def compact(self, dest_dir: str, input_id: str, **build_kwargs) -> "Engine":
+        """Rewrite this index into ``dest_dir`` without its
+        tombstoned documents (no re-tokenize — the stored tf table is
+        filtered and the cheap downstream stages rerun) and return an
+        engine over the compacted index. Surviving doc_ids are
+        preserved; scores equal a fresh build of the retained
+        corpus."""
+        from .plans.delete import compact_index
+
+        built = compact_index(
+            self.spark, self.built.out_dir, dest_dir, input_id,
+            text_col=self.text_col, **build_kwargs,
+        )
+        docs = self.spark.read.parquet(
+            os.path.join(dest_dir, "docs")
+        )
+        return Engine(self.spark, built, docs, self.text_col)
+
     # ---------------------------------------------------------- query
 
     def search(self, query: str, k: int = TOPK_DEFAULT) -> DataFrame:
@@ -153,7 +196,8 @@ class Engine:
             else None
         )
         return bmw_topk(
-            self.spark, self._postings, {0: query}, k=k, band_size=band
+            self.spark, self._postings, {0: query}, k=k, band_size=band,
+            exclude_ids=self._deleted or None,
         ).drop("query_id")
 
     def correct_query(self, query: str) -> str:
@@ -226,6 +270,31 @@ class Engine:
         """search() over the typo-corrected query."""
         return self.search(self.correct_query(query), k=k)
 
+    def search_boolean(self, query: str, k: int = TOPK_DEFAULT) -> DataFrame:
+        """Top-k over the minimal boolean DSL — ``term``, ``term^2.5``
+        (boost), ``-term`` (must_not) → (doc_id, score, rank).
+
+        Boosts scale impacts AND the WAND bounds (exact pruning);
+        must_not terms' postings decode into a per-band liveDocs
+        exclusion alongside the tombstones. A plain query (no
+        operators) scores identically to ``search``
+        (tests/test_boolean.py)."""
+        from .operators.bmw import bmw_topk_boolean, parse_boolean_query
+
+        band = (
+            self.built.band_size
+            if self.built.n_docs > self.built.band_size
+            else None
+        )
+        return bmw_topk_boolean(
+            self.spark,
+            self._postings,
+            {0: parse_boolean_query(query)},
+            k=k,
+            band_size=band,
+            exclude_ids=self._deleted or None,
+        ).drop("query_id")
+
     def more_like_this(
         self, doc_id: int, k: int = TOPK_DEFAULT, max_query_terms: int = 10
     ) -> DataFrame:
@@ -263,6 +332,8 @@ class Engine:
             self.spark.read.parquet(os.path.join(out_dir, "tf"))
             .filter(F.col("doc_id") == doc_id)
         )
+        if doc_id in self._deleted:
+            raise ValueError(f"doc_id {doc_id} is deleted")
         dl_row = (
             self.spark.read.parquet(os.path.join(out_dir, "dl"))
             .filter(F.col("doc_id") == doc_id)
@@ -346,7 +417,10 @@ class Engine:
 
     def search_serve(self, query: str, k: int = TOPK_DEFAULT):
         """Low-latency driver-side top-k → [(doc_id, score)]."""
-        return bmw_serve(self._postings, query, k=k)
+        return bmw_serve(
+            self._postings, query, k=k,
+            exclude_ids=self._deleted or None,
+        )
 
     def search_serve_arrow(self, query: str, k: int = TOPK_DEFAULT):
         """Spark-free top-k: pyarrow reads only the query's segments
@@ -361,7 +435,8 @@ class Engine:
                 partitioning="hive",
             )
         return bmw_serve_arrow(
-            self.built.postings_path, query, k=k, dataset=self._arrow_ds
+            self.built.postings_path, query, k=k, dataset=self._arrow_ds,
+            exclude_ids=self._deleted or None,
         )
 
     def search_cached(self, query: str, k: int = TOPK_DEFAULT) -> list:
@@ -377,7 +452,8 @@ class Engine:
         import time
 
         key = hashlib.sha256(
-            f"{self.built.out_dir}|{self.built.n_docs}|{k}|{query}".encode()
+            f"{self.built.out_dir}|{self.built.n_docs}|"
+            f"{len(self._deleted)}|{k}|{query}".encode()
         ).hexdigest()
         hit = self._result_cache.get(key)
         if hit is not None:
@@ -391,7 +467,10 @@ class Engine:
             del self._result_cache[key]  # expired
         self.cache_misses += 1
         try:
-            res = bmw_serve(self._postings, query, k=k)
+            res = bmw_serve(
+                self._postings, query, k=k,
+                exclude_ids=self._deleted or None,
+            )
         except ValueError:  # postings too hot for the driver path
             res = [
                 (int(r["doc_id"]), float(r["score"]))
@@ -423,7 +502,8 @@ class Engine:
         qmap = dict(enumerate(topics))
         th = threshold if threshold is not None else 0.0
         scored = score_threshold_all(
-            self.spark, self._postings, qmap, threshold=th
+            self.spark, self._postings, qmap, threshold=th,
+            exclude_ids=self._deleted or None,
         ).select("query_id", "doc_id", "score")
         return find_all_evidence_multi(
             scored,
@@ -446,7 +526,8 @@ class Engine:
         from .operators.bmw import score_threshold_all
 
         scored = score_threshold_all(
-            self.spark, self._postings, {0: topic}, threshold=threshold
+            self.spark, self._postings, {0: topic}, threshold=threshold,
+            exclude_ids=self._deleted or None,
         ).select("doc_id", "score")
         return find_all_evidence(
             scored,

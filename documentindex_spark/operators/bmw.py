@@ -47,14 +47,26 @@ class _Cursor:
     """
 
     __slots__ = (
-        "term", "segs", "seg_i", "blk_i", "pos", "ub",
+        "term", "segs", "seg_i", "blk_i", "pos", "ub", "boost",
         "_loaded", "_cur_docs", "_cur_imps",
     )
 
-    def __init__(self, term: str, segments: list[Segment]):
+    def __init__(
+        self, term: str, segments: list[Segment], boost: float = 1.0
+    ):
+        # boost scales the term's impacts AND every upper bound the
+        # pruning reads (ub, block_ub) — WAND stays exact because the
+        # bounds scale linearly with the scores. Must be > 0: a
+        # non-positive boost breaks the bound monotonicity (use
+        # must_not for exclusion instead).
+        if boost <= 0.0:
+            raise ValueError(f"boost must be > 0, got {boost}")
         self.term = term
+        self.boost = float(boost)
         self.segs = sorted(segments, key=lambda s: s.min_doc_id)
-        self.ub = max(float(s.block_max_impact.max()) for s in self.segs)
+        self.ub = self.boost * max(
+            float(s.block_max_impact.max()) for s in self.segs
+        )
         self.seg_i = 0
         self.blk_i = 0
         self.pos = 0
@@ -85,7 +97,7 @@ class _Cursor:
         return int(self._cur_docs[self.pos])
 
     def cur_impact(self) -> float:
-        return float(self._cur_imps[self.pos])
+        return self.boost * float(self._cur_imps[self.pos])
 
     def block_max_doc(self) -> int:
         """Last doc_id of the current block (skip boundary)."""
@@ -107,7 +119,7 @@ class _Cursor:
                 else:
                     b = int(np.searchsorted(seg.block_max_doc, d))
                 if b < seg.n_blocks:
-                    return float(seg.block_max_impact[b])
+                    return self.boost * float(seg.block_max_impact[b])
             seg_i += 1
             blk_i = 0
         return 0.0
@@ -145,13 +157,30 @@ class _Cursor:
 
 
 def bmw_topk_local(
-    segments_by_term: dict[str, list[Segment]], k: int = TOPK_DEFAULT
+    segments_by_term: dict[str, list[Segment]],
+    k: int = TOPK_DEFAULT,
+    exclude=None,
+    boosts: dict[str, float] | None = None,
 ) -> list[tuple[int, float]]:
     """Pure-Python/numpy BMW over in-memory segments → top-k
-    [(doc_id, score)] sorted (score DESC, doc_id ASC)."""
+    [(doc_id, score)] sorted (score DESC, doc_id ASC).
+
+    ``exclude``: optional container of doc_ids to skip (Lucene's
+    liveDocs check — tombstoned docs never enter the heap, so θ stays
+    a valid lower bound on the k-th best RETAINED score and the
+    result equals exhaustive-score-then-filter; plans/delete.py).
+
+    ``boosts``: optional per-term score multipliers (> 0; Lucene's
+    ``term^2.5``). Bounds scale with the scores inside ``_Cursor``,
+    so the pruning stays exact; the frozen ascending-term summation
+    order is unchanged (boosted impacts sum in the same order)."""
     if k <= 0:
         return []
-    cursors = [_Cursor(t, segs) for t, segs in segments_by_term.items() if segs]
+    cursors = [
+        _Cursor(t, segs, (boosts or {}).get(t, 1.0))
+        for t, segs in segments_by_term.items()
+        if segs
+    ]
     cursors = [c for c in cursors if not c.exhausted]
     heap: list[tuple[float, int]] = []  # (score, -doc_id): min = worst
 
@@ -201,20 +230,24 @@ def bmw_topk_local(
                 cursors[0].advance_to(max(d_next, pivot_doc + 1))
             else:
                 # --- full evaluation, ascending-term summation order
+                # (tombstoned docs: advance every cursor past the doc
+                # but never score it — the liveDocs skip)
+                dead = exclude is not None and pivot_doc in exclude
                 parts = []
                 for c in cursors:
                     if c.cur_doc() > pivot_doc:
                         break
                     c.advance_to(pivot_doc)
-                    if c.cur_doc() == pivot_doc:
+                    if not dead and c.cur_doc() == pivot_doc:
                         parts.append((c.term, c.cur_impact()))
-                score = 0.0
-                for _, imp in sorted(parts):
-                    score += imp
-                if len(heap) < k:
-                    heapq.heappush(heap, (score, -pivot_doc))
-                elif score > heap[0][0]:
-                    heapq.heapreplace(heap, (score, -pivot_doc))
+                if not dead:
+                    score = 0.0
+                    for _, imp in sorted(parts):
+                        score += imp
+                    if len(heap) < k:
+                        heapq.heappush(heap, (score, -pivot_doc))
+                    elif score > heap[0][0]:
+                        heapq.heapreplace(heap, (score, -pivot_doc))
                 for c in cursors:
                     if c.cur_doc() == pivot_doc:
                         c.next()
@@ -258,9 +291,16 @@ def bmw_topk(
     queries: dict[int, str],
     k: int = TOPK_DEFAULT,
     band_size: int | None = None,
+    exclude_ids=None,
 ) -> DataFrame:
     """Batched BMW: (query_id → query text) → DataFrame
     (query_id, doc_id, score, rank).
+
+    ``exclude_ids``: optional broadcast-sized container of tombstoned
+    doc_ids (plans/delete.py) skipped inside the scorer — liveDocs
+    semantics: excluded docs never consume heap slots, retained docs
+    keep their exact pre-delete scores (stats stay stale until
+    compaction, Lucene's contract).
 
     ``index`` is either the postings path (cold: pruned parquet scan)
     or an already-loaded (usually ``.persist()``-ed) postings
@@ -306,7 +346,7 @@ def bmw_topk(
         by_term: dict[str, list[Segment]] = {}
         for _, row in pdf.iterrows():
             by_term.setdefault(row["term"], []).append(row_to_segment(row))
-        top = bmw_topk_local(by_term, k)
+        top = bmw_topk_local(by_term, k, exclude=exclude_ids)
         return pd.DataFrame(
             {
                 "query_id": qid,
@@ -318,10 +358,12 @@ def bmw_topk(
 
     if band_size is None:
         return joined.groupBy("query_id").applyInPandas(run, BMW_RESULT_SCHEMA)
-    return _banded(joined, k, band_size)
+    return _banded(joined, k, band_size, exclude_ids)
 
 
-def _banded(joined: DataFrame, k: int, band_size: int) -> DataFrame:
+def _banded(
+    joined: DataFrame, k: int, band_size: int, exclude_ids=None
+) -> DataFrame:
     import pandas as pd  # local alias for closure clarity
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -329,7 +371,7 @@ def _banded(joined: DataFrame, k: int, band_size: int) -> DataFrame:
         by_term: dict[str, list[Segment]] = {}
         for _, row in pdf.iterrows():
             by_term.setdefault(row["term"], []).append(row_to_segment(row))
-        top = bmw_topk_local(by_term, k)
+        top = bmw_topk_local(by_term, k, exclude=exclude_ids)
         return pd.DataFrame(
             {
                 "query_id": qid,
@@ -355,11 +397,143 @@ def _banded(joined: DataFrame, k: int, band_size: int) -> DataFrame:
     )
 
 
+# ------------------------------------------------- boolean queries
+
+
+def parse_boolean_query(query: str) -> dict:
+    """Minimal Lucene-ish query DSL → spec for ``bmw_topk_boolean``:
+
+        "merge block^2.5 -deprecated"
+        → {"should": {"merge": 1.0, "block": 2.5},
+           "must_not": ["deprecated"]}
+
+    ``-token`` excludes documents containing the term; ``token^w``
+    boosts it by w (> 0). Each raw token normalizes through the
+    FROZEN tokenizer (a token like ``foo.bar`` yields both terms,
+    sharing the token's boost/negation). Deterministic on repeats:
+    the max boost wins; must_not beats should for a term in both
+    (its docs are excluded, so scoring it could contribute nothing).
+    """
+    should: dict[str, float] = {}
+    must_not: list[str] = []
+    for raw in query.split():
+        neg = raw.startswith("-")
+        if neg:
+            raw = raw[1:]
+        boost = 1.0
+        if "^" in raw:
+            raw, _, bs = raw.rpartition("^")
+            try:
+                boost = float(bs)
+            except ValueError:
+                raw = raw + "^" + bs  # not a boost suffix
+        for t in query_terms(raw):
+            if neg:
+                if t not in must_not:
+                    must_not.append(t)
+            else:
+                should[t] = max(boost, should.get(t, 0.0))
+    for t in must_not:
+        should.pop(t, None)
+    return {"should": should, "must_not": must_not}
+
+
+def bmw_topk_boolean(
+    spark: SparkSession,
+    index: str | DataFrame,
+    queries: dict[int, dict],
+    k: int = TOPK_DEFAULT,
+    band_size: int | None = None,
+    exclude_ids=None,
+) -> DataFrame:
+    """Batched boolean BM25: each query is a spec
+    ``{"should": {term: boost}, "must_not": [terms]}`` (see
+    ``parse_boolean_query``) → (query_id, doc_id, score, rank).
+
+    Same plan as ``bmw_topk`` — ONE pruned scan covers the positive
+    AND negative terms' segments (they ride the same bucket/term
+    pushdown), broadcast (query_id, term, boost, neg) join,
+    per-query applyInPandas. Inside the scorer the negative terms'
+    postings decode into a liveDocs-style exclusion set (merged with
+    the tombstones), and boosts scale cursor impacts and bounds —
+    pruning stays exact. Banded mode is safe because segments never
+    cross band boundaries: a negative term's postings for band B sit
+    in band B's group, so each band's exclusion set is complete.
+    """
+    pairs = []
+    for qid, spec in queries.items():
+        for t, b in sorted(spec.get("should", {}).items()):
+            pairs.append((qid, t, float(b), False))
+        for t in sorted(set(spec.get("must_not", []))):
+            pairs.append((qid, t, 1.0, True))
+    if not any(not p[3] for p in pairs):
+        return spark.createDataFrame([], BMW_RESULT_SCHEMA)
+    qdf = spark.createDataFrame(
+        pairs, "query_id long, term string, boost double, neg boolean"
+    )
+    all_terms = sorted({p[1] for p in pairs})
+    buckets = sorted({term_bucket(t) for t in all_terms})
+    if isinstance(index, str):
+        postings = spark.read.parquet(index)
+    else:
+        postings = index
+    seg_rows = postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+    )
+    joined = seg_rows.join(F.broadcast(qdf), "term")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        excl = set(int(d) for d in exclude_ids) if exclude_ids else set()
+        by_term: dict[str, list[Segment]] = {}
+        boosts: dict[str, float] = {}
+        for _, row in pdf.iterrows():
+            seg = row_to_segment(row)
+            if row["neg"]:
+                docs, _, _ = seg.decode_all()
+                excl.update(int(d) for d in docs)
+            else:
+                by_term.setdefault(row["term"], []).append(seg)
+                boosts[row["term"]] = float(row["boost"])
+        top = bmw_topk_local(
+            by_term, k, exclude=excl or None, boosts=boosts
+        )
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": [d for d, _ in top],
+                "score": [s for _, s in top],
+                "rank": np.arange(1, len(top) + 1, dtype=np.int32),
+            }
+        )
+
+    if band_size is None:
+        return joined.groupBy("query_id").applyInPandas(run, BMW_RESULT_SCHEMA)
+
+    from pyspark.sql.window import Window
+
+    banded = joined.withColumn(
+        "doc_band", F.floor(F.col("min_doc_id") / F.lit(band_size))
+    )
+    per_band = banded.groupBy("query_id", "doc_band").applyInPandas(
+        run, BMW_RESULT_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_band.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def score_threshold_all(
     spark: SparkSession,
     index: str | DataFrame,
     queries: dict[int, str],
     threshold: float,
+    exclude_ids=None,
 ) -> DataFrame:
     """Provenance-mode scorer: every (query_id, doc_id, score) with
     score ≥ threshold — NO top-k heap, NO global merge window.
@@ -430,6 +604,15 @@ def score_threshold_all(
                 yield pd.concat(out, ignore_index=True)
 
     postings = joined.mapInPandas(decode, post_schema)
+    if exclude_ids:
+        # liveDocs filter UNDER the agg: tombstoned postings never
+        # shuffle (plans/delete.py). The set is broadcast-sized by the
+        # deletion contract, so an isin literal list keeps it in the
+        # codegen'd stage; a corpus-fraction exclusion belongs in
+        # compaction, not here.
+        postings = postings.filter(
+            ~F.col("doc_id").isin([int(d) for d in exclude_ids])
+        )
     scored = (
         postings.groupBy("query_id", "doc_id")
         .agg(
@@ -450,6 +633,7 @@ def bmw_serve_arrow(
     k: int = TOPK_DEFAULT,
     max_collect_postings: int = 2_000_000,
     dataset=None,
+    exclude_ids=None,
 ) -> list[tuple[int, float]]:
     """Spark-FREE point lookup: read only the query's segment rows
     straight from the bucket-partitioned parquet index with pyarrow
@@ -481,7 +665,7 @@ def bmw_serve_arrow(
     by_term: dict[str, list[Segment]] = {}
     for row in tbl.to_pylist():
         by_term.setdefault(row["term"], []).append(row_to_segment(row))
-    return bmw_topk_local(by_term, k)
+    return bmw_topk_local(by_term, k, exclude=exclude_ids)
 
 
 def bmw_serve(
@@ -489,6 +673,7 @@ def bmw_serve(
     query: str,
     k: int = TOPK_DEFAULT,
     max_collect_postings: int = 2_000_000,
+    exclude_ids=None,
 ) -> list[tuple[int, float]]:
     """Low-latency single-query serving: pull the query's (pruned,
     pushed-down) segment rows to the driver and run BMW locally —
@@ -511,4 +696,4 @@ def bmw_serve(
     by_term: dict[str, list[Segment]] = {}
     for r in rows:
         by_term.setdefault(r["term"], []).append(row_to_segment(r))
-    return bmw_topk_local(by_term, k)
+    return bmw_topk_local(by_term, k, exclude=exclude_ids)
