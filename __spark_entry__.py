@@ -324,6 +324,52 @@ def _bmw_threshold_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bmw_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean BM25 over the compressed index: boosted should terms
+    (merge^3 sort) with a must_not exclusion (-fast) — Lucene's
+    boolean query surface, scored by the exact boost-aware BMW
+    (operators/bmw.py: bounds scale with the boosts, negative terms'
+    postings decode into a liveDocs exclusion)."""
+    from documentindex_spark.operators.bmw import bmw_topk_boolean
+
+    docs = _docs(spark, sf_dir)
+    built = build_index(
+        spark,
+        docs,
+        _driver_index_dir(sf_dir),
+        input_id=_input_id(spark, sf_dir),
+        text_col="text",
+        bucket_groups=1,
+    )
+    res = bmw_topk_boolean(
+        spark,
+        built.postings_path,
+        {0: {"should": {"merge": 3.0, "sort": 1.0}, "must_not": ["fast"]}},
+        k=10,
+    )
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+_BMW_BOOLEAN_ORACLE = _ORACLE_TOKS + """
+, scored AS (
+    SELECT doc_id,
+           sum(CASE term WHEN 'merge' THEN 3.0 * impact
+                         ELSE impact END) AS score
+    FROM imp
+    WHERE term IN ('merge', 'sort')
+      AND doc_id NOT IN (
+            SELECT DISTINCT doc_id FROM toks WHERE term = 'fast'
+      )
+    GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def _doc_type_oracle() -> str:
     from documentindex_spark.functions.scalar import DOC_TYPE_PATTERNS
 
@@ -1819,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_coverage": q_dup_coverage,
         "doc_keywords": q_doc_keywords,
         "sentence_dedup": q_sentence_dedup,
+        "bmw_boolean_topk": _bmw_boolean,
         # -------- zone 3: rows-only by design (pytest-pinned) --------
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -2481,6 +2528,7 @@ FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN kept USING (doc_id)
 SELECT doc_id, keyword_rank, term, impact
 FROM ranked WHERE keyword_rank <= 5
 """,
+        "bmw_boolean_topk": _BMW_BOOLEAN_ORACLE,
         "term_cooccurrence_pmi": _ORACLE_TOKS
         + """
 , dt AS (SELECT DISTINCT doc_id, term FROM tf),
