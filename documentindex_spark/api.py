@@ -664,11 +664,12 @@ class Engine:
         (operators/summarize.py; the reference fills TreeNode.summary
         with an LLM, models.py:138-240 — this is the deterministic
         analog, title fallback for sentence-less nodes)."""
+        docs = self._live_docs()
         if detect_types:
             from .functions.scalar import detect_doc_type
 
-            typed = self.docs.join(
-                detect_doc_type(self.docs, self.text_col).select(
+            typed = docs.join(
+                detect_doc_type(docs, self.text_col).select(
                     "doc_id", "doc_type"
                 ),
                 "doc_id",
@@ -677,18 +678,30 @@ class Engine:
                 typed, self.text_col, "lang", doc_type_col="doc_type"
             )
         else:
-            out = build_nodes(self.docs, self.text_col, "lang")
+            out = build_nodes(docs, self.text_col, "lang")
         if summaries:
             from .operators.summarize import extractive_node_summaries
 
-            out = extractive_node_summaries(out, self.docs, self.text_col)
+            out = extractive_node_summaries(out, docs, self.text_col)
         return out
+
+    def _live_docs(self) -> DataFrame:
+        """self.docs minus tombstoned doc_ids — the corpus view every
+        structure path (nodes, cross_references) reads, so deleted
+        docs vanish from stored-field readers too (Lucene hides
+        deleted docs' stored fields; the bytes linger until
+        compact())."""
+        if not self._deleted:
+            return self.docs
+        return self.docs.filter(
+            ~F.col("doc_id").isin([int(d) for d in self._deleted])
+        )
 
     def cross_references(self) -> DataFrame:
         """Resolved cross-reference edge table."""
         nodes = self.nodes()
         with_text = nodes.join(
-            self.docs.select("doc_id", self.text_col), "doc_id"
+            self._live_docs().select("doc_id", self.text_col), "doc_id"
         ).withColumn(
             "text",
             F.expr(

@@ -92,6 +92,18 @@ def test_tombstones_persist_and_idempotent(deleted_engine, spark,
     assert load_tombstones(spark, eng.built.out_dir) == frozenset(deleted)
 
 
+def test_nodes_exclude_deleted(deleted_engine):
+    """Structure paths read the live-docs view: no TreeNode rows for
+    tombstoned docs (Lucene hides deleted docs' stored fields)."""
+    eng, deleted, _ = deleted_engine
+    node_docs = {
+        int(r["doc_id"])
+        for r in eng.nodes().select("doc_id").distinct().collect()
+    }
+    assert not (node_docs & set(deleted))
+    assert len(node_docs) == 200 - len(deleted)
+
+
 def test_more_like_this_rejects_deleted_source(deleted_engine):
     eng, deleted, _ = deleted_engine
     with pytest.raises(ValueError, match="deleted"):
