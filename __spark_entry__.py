@@ -352,6 +352,55 @@ def _bmw_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bmw_boolean_must(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean BM25 with a MUST clause (+merge sort -fast): 'merge'
+    is required AND scores, 'sort' is optional, docs containing
+    'fast' are excluded — the full Lucene BooleanQuery trio through
+    the exact BMW scorer (a doc enters the heap only when every must
+    term matched at full evaluation)."""
+    from documentindex_spark.operators.bmw import bmw_topk_boolean
+
+    docs = _docs(spark, sf_dir)
+    built = build_index(
+        spark,
+        docs,
+        _driver_index_dir(sf_dir),
+        input_id=_input_id(spark, sf_dir),
+        text_col="text",
+        bucket_groups=1,
+    )
+    res = bmw_topk_boolean(
+        spark,
+        built.postings_path,
+        {0: {
+            "should": {"merge": 1.0, "sort": 1.0},
+            "must": ["merge"],
+            "must_not": ["fast"],
+        }},
+        k=10,
+    )
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+_BMW_BOOLEAN_MUST_ORACLE = _ORACLE_TOKS + """
+, scored AS (
+    SELECT doc_id, sum(impact) AS score
+    FROM imp
+    WHERE term IN ('merge', 'sort')
+      AND doc_id NOT IN (
+            SELECT DISTINCT doc_id FROM toks WHERE term = 'fast'
+      )
+    GROUP BY doc_id
+    HAVING max(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) = 1
+)
+SELECT doc_id, round(score, 6) AS score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 _BMW_BOOLEAN_ORACLE = _ORACLE_TOKS + """
 , scored AS (
     SELECT doc_id,
@@ -1866,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "sentence_dedup": q_sentence_dedup,
         "bmw_boolean_topk": _bmw_boolean,
+        "bmw_boolean_must": _bmw_boolean_must,
         # -------- zone 3: rows-only by design (pytest-pinned) --------
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -2529,6 +2579,7 @@ SELECT doc_id, keyword_rank, term, impact
 FROM ranked WHERE keyword_rank <= 5
 """,
         "bmw_boolean_topk": _BMW_BOOLEAN_ORACLE,
+        "bmw_boolean_must": _BMW_BOOLEAN_MUST_ORACLE,
         "term_cooccurrence_pmi": _ORACLE_TOKS
         + """
 , dt AS (SELECT DISTINCT doc_id, term FROM tf),

@@ -161,6 +161,7 @@ def bmw_topk_local(
     k: int = TOPK_DEFAULT,
     exclude=None,
     boosts: dict[str, float] | None = None,
+    must: set | None = None,
 ) -> list[tuple[int, float]]:
     """Pure-Python/numpy BMW over in-memory segments → top-k
     [(doc_id, score)] sorted (score DESC, doc_id ASC).
@@ -173,7 +174,13 @@ def bmw_topk_local(
     ``boosts``: optional per-term score multipliers (> 0; Lucene's
     ``term^2.5``). Bounds scale with the scores inside ``_Cursor``,
     so the pruning stays exact; the frozen ascending-term summation
-    order is unchanged (boosted impacts sum in the same order)."""
+    order is unchanged (boosted impacts sum in the same order).
+
+    ``must``: optional set of REQUIRED terms (Lucene MUST clauses;
+    each must also be a scoring key of ``segments_by_term``): a doc
+    enters the heap only when every must term matched it at full
+    evaluation. θ pruning stays conservative — it only ever rises on
+    admitted (qualifying) docs."""
     if k <= 0:
         return []
     cursors = [
@@ -240,7 +247,11 @@ def bmw_topk_local(
                     c.advance_to(pivot_doc)
                     if not dead and c.cur_doc() == pivot_doc:
                         parts.append((c.term, c.cur_impact()))
-                if not dead:
+                qualified = not dead and (
+                    must is None
+                    or must <= {t for t, _ in parts}
+                )
+                if qualified:
                     score = 0.0
                     for _, imp in sorted(parts):
                         score += imp
@@ -403,22 +414,26 @@ def _banded(
 def parse_boolean_query(query: str) -> dict:
     """Minimal Lucene-ish query DSL → spec for ``bmw_topk_boolean``:
 
-        "merge block^2.5 -deprecated"
+        "+merge block^2.5 -deprecated"
         → {"should": {"merge": 1.0, "block": 2.5},
-           "must_not": ["deprecated"]}
+           "must": ["merge"], "must_not": ["deprecated"]}
 
-    ``-token`` excludes documents containing the term; ``token^w``
-    boosts it by w (> 0). Each raw token normalizes through the
-    FROZEN tokenizer (a token like ``foo.bar`` yields both terms,
-    sharing the token's boost/negation). Deterministic on repeats:
-    the max boost wins; must_not beats should for a term in both
-    (its docs are excluded, so scoring it could contribute nothing).
+    The Lucene BooleanQuery trio: ``+token`` REQUIRES the term (it
+    also scores, so it lands in should too), ``-token`` excludes
+    documents containing it, ``token^w`` boosts by w (> 0). Each raw
+    token normalizes through the FROZEN tokenizer (a token like
+    ``foo.bar`` yields both terms, sharing the token's operators).
+    Deterministic on repeats: the max boost wins; must_not beats
+    must/should for a term in every clause (its docs are excluded,
+    so requiring or scoring it could only empty the result).
     """
     should: dict[str, float] = {}
+    must: list[str] = []
     must_not: list[str] = []
     for raw in query.split():
         neg = raw.startswith("-")
-        if neg:
+        req = raw.startswith("+")
+        if neg or req:
             raw = raw[1:]
         boost = 1.0
         if "^" in raw:
@@ -433,9 +448,13 @@ def parse_boolean_query(query: str) -> dict:
                     must_not.append(t)
             else:
                 should[t] = max(boost, should.get(t, 0.0))
+                if req and t not in must:
+                    must.append(t)
     for t in must_not:
         should.pop(t, None)
-    return {"should": should, "must_not": must_not}
+        if t in must:
+            must.remove(t)
+    return {"should": should, "must": must, "must_not": must_not}
 
 
 def bmw_topk_boolean(
@@ -447,8 +466,11 @@ def bmw_topk_boolean(
     exclude_ids=None,
 ) -> DataFrame:
     """Batched boolean BM25: each query is a spec
-    ``{"should": {term: boost}, "must_not": [terms]}`` (see
-    ``parse_boolean_query``) → (query_id, doc_id, score, rank).
+    ``{"should": {term: boost}, "must": [terms], "must_not": [terms]}``
+    (see ``parse_boolean_query``) → (query_id, doc_id, score, rank).
+    ``must`` terms are required AND score (Lucene MUST; each must
+    appear in ``should`` — ``parse_boolean_query`` guarantees it);
+    the per-group scorer admits a doc only when all of them matched.
 
     Same plan as ``bmw_topk`` — ONE pruned scan covers the positive
     AND negative terms' segments (they ride the same bucket/term
@@ -461,8 +483,17 @@ def bmw_topk_boolean(
     in band B's group, so each band's exclusion set is complete.
     """
     pairs = []
+    must_by_q: dict[int, frozenset] = {}
     for qid, spec in queries.items():
-        for t, b in sorted(spec.get("should", {}).items()):
+        should = spec.get("should", {})
+        m = frozenset(spec.get("must", []))
+        if not m <= set(should):
+            raise ValueError(
+                f"must terms {sorted(m - set(should))} missing from "
+                "'should' — must clauses score, give them a boost entry"
+            )
+        must_by_q[qid] = m
+        for t, b in sorted(should.items()):
             pairs.append((qid, t, float(b), False))
         for t in sorted(set(spec.get("must_not", []))):
             pairs.append((qid, t, 1.0, True))
@@ -496,7 +527,8 @@ def bmw_topk_boolean(
                 by_term.setdefault(row["term"], []).append(seg)
                 boosts[row["term"]] = float(row["boost"])
         top = bmw_topk_local(
-            by_term, k, exclude=excl or None, boosts=boosts
+            by_term, k, exclude=excl or None, boosts=boosts,
+            must=must_by_q.get(qid) or None,
         )
         return pd.DataFrame(
             {

@@ -27,13 +27,18 @@ def engine(spark, repo_files_small, tmp_path_factory):
 
 def _replica_topk(orc, spec, k, exclude=()):
     """score = Σ (ascending-term order) boost·impact over should
-    terms; docs containing ANY must_not term (or excluded) drop —
-    byte-for-byte the implementation's frozen summation."""
+    terms; docs containing ANY must_not term (or excluded), or
+    missing ANY must term, drop — byte-for-byte the implementation's
+    frozen summation."""
     out = []
     for d in orc.tf:
         if d in exclude:
             continue
         if any(orc.tf[d].get(t, 0) > 0 for t in spec["must_not"]):
+            continue
+        if any(
+            orc.tf[d].get(t, 0) == 0 for t in spec.get("must", [])
+        ):
             continue
         s = 0.0
         for t in sorted(spec["should"]):
@@ -48,6 +53,7 @@ def test_parse_boolean_query():
     spec = parse_boolean_query("merge block^2.5 -deprecated")
     assert spec == {
         "should": {"merge": 1.0, "block": 2.5},
+        "must": [],
         "must_not": ["deprecated"],
     }
     # multi-term raw token shares boost/negation; repeats keep max
@@ -56,6 +62,13 @@ def test_parse_boolean_query():
     assert spec["must_not"] == ["a", "b"]
     # must_not beats should for a term in both
     assert parse_boolean_query("x -x")["should"] == {}
+    # +token requires AND scores (lands in must and should)
+    spec = parse_boolean_query("+merge^2 sort -fast")
+    assert spec["must"] == ["merge"]
+    assert spec["should"] == {"merge": 2.0, "sort": 1.0}
+    # must_not beats must too
+    spec = parse_boolean_query("+x -x")
+    assert spec["must"] == [] and spec["should"] == {}
 
 
 def test_plain_query_matches_search(engine, local_docs):
@@ -124,6 +137,54 @@ def test_banded_equals_unbanded(engine):
 
 def test_only_must_not_returns_empty(engine):
     assert engine.search_boolean("-merge", 10).count() == 0
+
+
+def test_must_clause_matches_replica(engine, local_docs):
+    orc = oracle.OracleIndex(local_docs)
+    q = "+merge^2 block def"
+    spec = parse_boolean_query(q)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in engine.search_boolean(q, 10).orderBy("rank").collect()
+    ]
+    assert got == _replica_topk(orc, spec, 10)
+    for d, _ in got:
+        assert orc.tf[d].get("merge", 0) > 0
+
+
+def test_must_banded_equals_unbanded(engine, local_docs):
+    spec = parse_boolean_query("+merge sort -fast")
+    un = bmw_topk_boolean(
+        engine.spark, engine._postings, {0: spec}, k=10, band_size=None
+    ).collect()
+    bd = bmw_topk_boolean(
+        engine.spark, engine._postings, {0: spec}, k=10,
+        band_size=engine.built.band_size,
+    ).collect()
+    key = lambda rows: [  # noqa: E731
+        (int(r["doc_id"]), float(r["score"]), int(r["rank"]))
+        for r in sorted(rows, key=lambda r: r["rank"])
+    ]
+    assert key(un) == key(bd)
+    orc = oracle.OracleIndex(local_docs)
+    assert key(un) == [
+        (d, s, i + 1)
+        for i, (d, s) in enumerate(_replica_topk(orc, spec, 10))
+    ]
+
+
+def test_must_absent_term_empties(engine):
+    """A required term with no postings anywhere → nothing qualifies
+    (no silent fallback to the optional terms)."""
+    assert engine.search_boolean("+zzzzzqx merge", 10).count() == 0
+
+
+def test_must_outside_should_rejected(engine):
+    with pytest.raises(ValueError, match="must terms"):
+        bmw_topk_boolean(
+            engine.spark, engine._postings,
+            {0: {"should": {"merge": 1.0}, "must": ["sort"]}}, k=5,
+        )
 
 
 def test_composes_with_tombstones(engine, local_docs):
