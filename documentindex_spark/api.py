@@ -162,6 +162,32 @@ class Engine:
         self._result_cache.clear()  # cached results may contain them
         return len(self._deleted)
 
+    def delete_where(self, condition, max_delete: int = 1_000_000) -> int:
+        """Tombstone every document matching ``condition`` (a Column
+        or SQL string over the doc_map's identity columns — repo,
+        path, commit, ... — the reference's deletion key is the
+        document's natural key, cache.py:361, not an internal id).
+        One pruned scan of the stored doc_map resolves keys →
+        doc_ids; ``max_delete`` bounds the driver-side collect (the
+        tombstone set must stay broadcast-sized — a corpus-fraction
+        deletion belongs in a filtered rebuild, not tombstones).
+        Returns the total distinct tombstone count."""
+        dm = self.spark.read.parquet(
+            os.path.join(self.built.out_dir, "doc_map")
+        ).filter(condition)
+        ids = [
+            int(r["doc_id"])
+            for r in dm.select("doc_id").limit(max_delete + 1).collect()
+        ]
+        if len(ids) > max_delete:
+            raise RuntimeError(
+                f"delete_where matches > {max_delete} docs — rebuild "
+                "from a filtered source instead of tombstoning"
+            )
+        if not ids:
+            return len(self._deleted)
+        return self.delete(ids)
+
     def compact(self, dest_dir: str, input_id: str, **build_kwargs) -> "Engine":
         """Rewrite this index into ``dest_dir`` without its
         tombstoned documents (no re-tokenize — the stored tf table is

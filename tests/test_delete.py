@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from documentindex_spark import oracle
 from documentindex_spark.api import Engine
@@ -148,6 +149,29 @@ def test_compact_identical_to_fresh_retained_build(
     n_dropped = src_tf.filter(src_tf.doc_id.isin(deleted)).count()
     n_compacted = spark.read.parquet(os.path.join(dest, "tf")).count()
     assert n_compacted == src_tf.count() - n_dropped
+
+
+def test_delete_where_by_natural_key(spark, repo_files_small,
+                                     tmp_path_factory):
+    """Deletion by the reference's key shape (repo/path), resolved
+    through the stored doc_map."""
+    out = str(tmp_path_factory.mktemp("del_where"))
+    eng = Engine.index(
+        spark, repo_files_small, out, input_id="rf@200-delw",
+        bucket_groups=1,
+    )
+    victim = repo_files_small.select("repo", "path", "doc_id").head()
+    n = eng.delete_where(
+        (F.col("repo") == victim["repo"])
+        & (F.col("path") == victim["path"])
+    )
+    assert n >= 1
+    assert int(victim["doc_id"]) in eng._deleted
+    # no-match condition is a no-op
+    assert eng.delete_where("repo = 'no-such-repo'") == n
+    # overflow guard
+    with pytest.raises(RuntimeError, match="filtered source"):
+        eng.delete_where("repo IS NOT NULL", max_delete=10)
 
 
 def test_tombstone_overflow_guard(spark, repo_files_small,
