@@ -43,3 +43,56 @@ def test_bmw_local_equals_oracle_on_random_corpora(docs, q, k, max_seg):
     assert [s for _, s in got] == pytest.approx(
         [s for _, s in want], abs=1e-12
     )
+
+
+_boost = st.sampled_from([0.5, 1.0, 2.5])
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    _corpus,
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=4,
+             unique=True),
+    st.data(),
+    st.sampled_from([1, 3, 10]),
+    st.sampled_from([None, 3]),
+)
+def test_boolean_bmw_local_equals_replica(docs, qterms, data, k, max_seg):
+    """Boosts + must clauses + liveDocs exclusion against a direct
+    replica on random corpora: the boost-scaled bounds and the
+    heap-admission gate must stay exact under every tie/skip
+    pattern."""
+    local = {i: t for i, t in enumerate(docs)}
+    orc = oracle.OracleIndex(local)
+    boosts = {t: data.draw(_boost, label=f"boost:{t}") for t in qterms}
+    must = {
+        t for t in qterms if data.draw(st.booleans(), label=f"must:{t}")
+    }
+    exclude = {
+        d for d in range(len(docs))
+        if data.draw(st.booleans(), label=f"del:{d}")
+    }
+    segs = _segments_from_oracle(orc, qterms, max_seg)
+    got = bmw_topk_local(
+        segs, k, exclude=exclude or None, boosts=boosts,
+        must=must or None,
+    )
+    want = []
+    for d in orc.tf:
+        if d in exclude:
+            continue
+        if any(orc.tf[d].get(t, 0) == 0 for t in must):
+            continue
+        s = 0.0
+        for t in sorted(qterms):
+            s += boosts[t] * orc.impact(t, d)
+        if s > 0.0:
+            want.append((d, s))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    want = want[:k]
+    assert [d for d, _ in got] == [d for d, _ in want], (
+        docs, qterms, boosts, must, exclude, k,
+    )
+    assert [s for _, s in got] == pytest.approx(
+        [s for _, s in want], abs=1e-12
+    )
