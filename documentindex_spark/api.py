@@ -206,6 +206,65 @@ class Engine:
         )
         return Engine(self.spark, built, docs, self.text_col)
 
+    def update_documents(
+        self,
+        new_files: DataFrame,
+        input_id: str,
+        key_cols: tuple = ("repo", "path"),
+        max_replace: int = 1_000_000,
+        **build_kwargs,
+    ) -> "Engine":
+        """Upsert by natural key (reference analog: re-indexing a
+        changed document replaces its per-doc index, cache.py:361 +
+        indexer.py's re-run): stored docs whose ``key_cols`` match a
+        row of ``new_files`` are tombstoned (plans/delete.py) and
+        ``new_files`` is appended incrementally (plans/incremental.py
+        — only the new docs tokenize). Keys absent from the index are
+        plain inserts. The stale-stats contract composes: the append
+        rebuilds corpus stats over the COMBINED tf (tombstoned rows
+        included, exactly as ``delete`` leaves them), so results
+        equal exhaustive scoring over old∪new docs with the replaced
+        versions filtered out — until ``compact()`` rewrites truth.
+        ``new_files`` must not carry a doc_id column (ids are
+        assigned after the existing corpus); the update batch's key
+        set must stay broadcast/collect-sized (``max_replace`` guards
+        it — a corpus-scale rewrite belongs in a fresh build).
+        Returns a FRESH engine over the updated index; this engine's
+        cached scans are stale after the call."""
+        from .plans.incremental import append_documents
+
+        dm = self.spark.read.parquet(
+            os.path.join(self.built.out_dir, "doc_map")
+        )
+        keys = new_files.select(*key_cols).distinct()
+        matched = dm.join(
+            F.broadcast(keys), on=list(key_cols), how="leftsemi"
+        )
+        ids = [
+            int(r["doc_id"])
+            for r in matched.select("doc_id")
+            .limit(max_replace + 1).collect()
+        ]
+        if len(ids) > max_replace:
+            raise RuntimeError(
+                f"update_documents matches > {max_replace} stored "
+                "docs — rebuild from the merged source instead"
+            )
+        if ids:
+            self.delete(ids)
+        built = append_documents(
+            self.spark, self.built, new_files, input_id,
+            text_col=self.text_col, **build_kwargs,
+        )
+        docs = self.spark.read.parquet(
+            os.path.join(built.out_dir, "docs")
+        )
+        return Engine(
+            self.spark, built, docs, self.text_col,
+            cache_capacity=self._cache_capacity,
+            cache_ttl_seconds=self._cache_ttl,
+        )
+
     # ---------------------------------------------------------- query
 
     def search(self, query: str, k: int = TOPK_DEFAULT) -> DataFrame:
