@@ -1838,7 +1838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfreq_hot": q_dfreq_hot,
         "bm25_topk_merge_sort": _bm25_topk("merge sort", 10),
         "pii_redaction": q_pii,
-        "bm25_threshold_all": q_bm25_threshold,
         "bmw_threshold_all": _bmw_threshold_all,
         "bmw_topk_merge_sort": _bmw("merge sort", 10),
         "winnow_candidate_pairs": q_winnow_pairs,
@@ -1848,17 +1847,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": q_substring_dup_spans,
         "minhash_near_dup": q_minhash_near_dup,
         "minhash_incremental_dedup": q_minhash_incremental,
-        "embedding_near_dup": q_emb_neardup,
         "embedding_near_dup_lsh": q_emb_neardup_lsh,
         "ann_brute_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf,
-        "ann_index_topk": q_ann_index_topk,
         "fuzzy_term_match": q_fuzzy_terms,
         "simhash_near_dup": q_simhash_near_dup,
         "quality_features": q_quality,
         "lm_quality_scores": q_lm_quality,
         "bpe_word_freqs": q_bpe_word_freqs,
-        "bpe_apply_literal": q_bpe_apply_literal,
         "node_summaries": q_node_summaries,
         "stratified_sample": q_stratified_sample,
         "token_counts": q_token_counts,
@@ -1880,8 +1876,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_min_should_match": q_bm25_msm,
         "events_multi_grain_rollup": q_events_rollup,
-        "events_windowed_counts": q_events_windowed,
         "events_sessionize": q_events_sessions,
+        # round-5 graduation (round-4 verdict #6): five DISTINCT
+        # capabilities promoted from the parked zone — graph
+        # clustering, benchmark decontamination, Gopher repetition,
+        # C4 line filters, near-dup-aware curation — replacing five
+        # same-family query shapes of already-graded operators
+        # (bm25_threshold_all→bmw_threshold_all, embedding_near_dup→
+        # its _lsh scale path, ann_index_topk→ann_ivf_topk,
+        # bpe_apply_literal→bpe_word_freqs, events_windowed_counts→
+        # events_multi_grain_rollup). Strictly more distinct
+        # operators graded; the swapped-out five stay full-oracle in
+        # zone 2 (driver_check replica verifies ALL entries).
+        "dedup_clusters": q_dedup_clusters,
+        "curation_neardup": q_curation_neardup,
+        "contamination_check": q_contamination,
+        "repetition_features": q_repetition,
+        "line_quality": q_line_quality,
         # -------- zone 2: parked full-oracle (redundant with a graded
         # entry: simhash_near_dup / minhash_near_dup recompute the
         # signatures their *_signatures twins expose) --------
@@ -1899,14 +1910,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_three_terms": _bm25_topk("spark window filter", 10),
         "bmw_topk_three_terms": _bmw("spark window filter", 10),
         "evidence_snippets": q_evidence_snippets,
-        # new round-4 capability — parked because every graded slot
-        # already holds a distinct operator; value-checked by the
-        # driver_check replica (compares ALL entries) + pytest
-        "dedup_clusters": q_dedup_clusters,
-        "curation_neardup": q_curation_neardup,
-        "contamination_check": q_contamination,
-        "repetition_features": q_repetition,
-        "line_quality": q_line_quality,
+        # round-5 demotions (the same-family shapes the graduation
+        # above displaced — each transitively checked by its graded
+        # twin, still full-oracle under the driver_check replica)
+        "bm25_threshold_all": q_bm25_threshold,
+        "embedding_near_dup": q_emb_neardup,
+        "ann_index_topk": q_ann_index_topk,
+        "bpe_apply_literal": q_bpe_apply_literal,
+        "events_windowed_counts": q_events_windowed,
         "winnow_fingerprints": q_winnow_fps,
         "tfidf_similar_pairs": q_tfidf_similar,
         "term_cooccurrence_pmi": q_pmi,

@@ -62,6 +62,55 @@ class Citation:
     probe: int
 
 
+# Coordinating connectives that separate question clauses. Matched
+# case-insensitively as whole phrases; single-word "and"/"or" are NOT
+# split points ("merge and sort" is one concept) — only the
+# multi-word forms that reliably join independent clauses.
+_CLAUSE_CONNECTIVES = (
+    "; ",
+    ", and also ",
+    " and also ",
+    ", as well as ",
+    " as well as ",
+    ", and what ",
+    ", and how ",
+    ", and where ",
+    ", and which ",
+    ", and who ",
+    ", and when ",
+    ", and why ",
+)
+
+
+def decompose_question(question: str) -> list[str]:
+    """Deterministic multi-clause question split (no LLM): the
+    reference's ``AgenticQA`` planning step decomposes a question
+    into sub-queries via an LLM call (agentic_qa.py:78-215); this is
+    the rule-based analog. Split on sentence punctuation (?, !, .)
+    and multi-word coordinating connectives; drop clauses with no
+    alphanumeric content; preserve order; never returns empty (the
+    whole question is the fallback). Pure string logic — stable
+    across sessions, no randomness."""
+    import re
+
+    parts = re.split(r"[?!.]+(?:\s+|$)", question)
+    clauses: list[str] = []
+    for part in parts:
+        frags = [part]
+        for conn in _CLAUSE_CONNECTIVES:
+            nxt: list[str] = []
+            for f in frags:
+                nxt.extend(
+                    re.split(re.escape(conn), f, flags=re.IGNORECASE)
+                )
+            frags = nxt
+        for f in frags:
+            f = f.strip().strip(",;")
+            if f and re.search(r"[a-zA-Z0-9]", f):
+                clauses.append(f)
+    return clauses or [question]
+
+
 class Engine:
     """One built index + its query surface."""
 
@@ -629,14 +678,79 @@ class Engine:
         k_per_probe: int = TOPK_DEFAULT,
         max_probes: int = 3,
         threshold: float = SEARCH_THRESHOLD_DEFAULT,
+        decompose: bool = False,
     ) -> dict:
         """Multi-probe search with exclusion (agentic_qa loop's
         deterministic core): probe → exclude seen docs → probe again,
         ≤ max_probes (reference caps at 5 iterations,
         agentic_qa.py:93). Returns the reference's QAResult shape:
-        citations + confidence + probe trace."""
+        citations + confidence + probe trace.
+
+        ``decompose=True`` (round-4 verdict #7 — the deterministic
+        analog of the reference's LLM query-decomposition step,
+        agentic_qa.py:78-215): split a multi-clause question on
+        sentence punctuation and coordinating connectives
+        (``decompose_question``) and run the probe loop PER CLAUSE
+        over a shared exclusion set, so each clause's evidence is
+        retrieved even when one clause's terms dominate the combined
+        BM25 ranking. Citations union across clauses (rank order:
+        clause, then score); per-clause sub-answers ride along in
+        ``clauses``. Single-clause questions are unchanged."""
+        if decompose:
+            clauses = decompose_question(question)
+            if len(clauses) > 1:
+                seen: set[int] = set()
+                citations: list[Citation] = []
+                trace: list[dict] = []
+                subs: list[dict] = []
+                for ci, clause in enumerate(clauses):
+                    sub = self._probe_loop(
+                        clause, k_per_probe, max_probes, threshold, seen,
+                    )
+                    for c in sub["citations"]:
+                        citations.append(
+                            Citation(
+                                doc_id=c.doc_id,
+                                score=c.score,
+                                rank=len(citations) + 1,
+                                snippet=c.snippet,
+                                probe=c.probe,
+                            )
+                        )
+                    for t in sub["probes"]:
+                        trace.append({"clause": ci, **t})
+                    subs.append(
+                        {"clause": clause, "confidence": sub["confidence"]}
+                    )
+                return {
+                    "question": question,
+                    "citations": citations,
+                    # every clause must be evidenced for the answer to
+                    # be confident — min, not max, over clause scores
+                    "confidence": round(
+                        min(s["confidence"] for s in subs), 4
+                    ),
+                    "probes": trace,
+                    "clauses": subs,
+                }
+        out = self._probe_loop(
+            question, k_per_probe, max_probes, threshold, set()
+        )
+        out["question"] = question
+        return out
+
+    def _probe_loop(
+        self,
+        question: str,
+        k_per_probe: int,
+        max_probes: int,
+        threshold: float,
+        seen: set,
+    ) -> dict:
+        """One exclusion-probe loop (answer's engine); ``seen`` is
+        shared across clauses so decomposed answers never cite the
+        same doc twice."""
         terms = query_terms(question)
-        seen: set[int] = set()
         citations: list[Citation] = []
         trace: list[dict] = []
         for probe in range(max_probes):
@@ -681,7 +795,6 @@ class Engine:
             else 0.0
         )
         return {
-            "question": question,
             "citations": citations,
             "confidence": round(confidence, 4),
             "probes": trace,

@@ -108,17 +108,39 @@ def bpe_merges(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_vocab_collect: int = 1_000_000,
+    min_freq: int = 1,
+    top_n_words: int | None = None,
 ) -> DataFrame:
     """(rank, left, right, freq) — the induced merge table as a
-    DataFrame (broadcastable to apply_bpe)."""
+    DataFrame (broadcastable to apply_bpe).
+
+    Scale policy (round-4 verdict #4): the merge loop's input is the
+    distinct-word table, which at 100 TB can exceed any driver
+    budget. Instead of refusing, the collect degrades by documented
+    frequency-floor truncation — the same thing every production BPE
+    trainer does (sentencepiece drops words under a count floor; rare
+    words contribute ~nothing to pair statistics):
+
+    1. ``min_freq`` drops words rarer than the floor (Spark-side
+       filter, before any count).
+    2. ``top_n_words`` (explicit) keeps the N most frequent words,
+       ties broken lexicographically — fully deterministic.
+    3. If the surviving vocabulary still exceeds
+       ``max_vocab_collect``, it is auto-truncated to the top
+       ``max_vocab_collect`` words under the same deterministic
+       order. The induced merges are then the exact merges of the
+       truncated word table (pinned by tests/test_bpe.py).
+    """
     wf = word_frequencies(df, text_col, id_col)
-    n_vocab = wf.count()
-    if n_vocab > max_vocab_collect:
-        raise ValueError(
-            f"distinct-word count {n_vocab} exceeds max_vocab_collect="
-            f"{max_vocab_collect}; raise it or pre-truncate rare words"
-        )
-    pairs = [(r["word"], int(r["freq"])) for r in wf.collect()]
+    if min_freq > 1:
+        wf = wf.filter(F.col("freq") >= min_freq)
+    cap = top_n_words if top_n_words is not None else max_vocab_collect
+    # Deterministic truncation order: freq desc, word asc. The limit
+    # is a TakeOrderedAndProject — no full sort, no driver blowup.
+    rows = (
+        wf.orderBy(F.desc("freq"), F.asc("word")).limit(int(cap)).collect()
+    )
+    pairs = [(r["word"], int(r["freq"])) for r in rows]
     pairs.sort()  # collect order is not deterministic; the loop input must be
     merges = train_bpe(pairs, n_merges)
     spark = df.sparkSession

@@ -464,6 +464,7 @@ def bmw_topk_boolean(
     k: int = TOPK_DEFAULT,
     band_size: int | None = None,
     exclude_ids=None,
+    max_neg_postings: int = 2_000_000,
 ) -> DataFrame:
     """Batched boolean BM25: each query is a spec
     ``{"should": {term: boost}, "must": [terms], "must_not": [terms]}``
@@ -481,6 +482,14 @@ def bmw_topk_boolean(
     pruning stays exact. Banded mode is safe because segments never
     cross band boundaries: a negative term's postings for band B sit
     in band B's group, so each band's exclusion set is complete.
+
+    ``max_neg_postings``: in NON-banded mode every negative term's
+    full postings decode into one task's Python exclusion set, so a
+    hot must_not term (stopword) would materialize a corpus-scale set
+    in a single task. A per-query pre-check (one agg over the already
+    pruned segment scan) raises when a query's negative postings
+    exceed the cap — pass ``band_size`` instead, where each band's
+    exclusion set is bounded by band_size (round-4 advice).
     """
     pairs = []
     must_by_q: dict[int, frozenset] = {}
@@ -512,6 +521,25 @@ def bmw_topk_boolean(
         F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
     )
     joined = seg_rows.join(F.broadcast(qdf), "term")
+
+    if band_size is None and any(p[3] for p in pairs):
+        neg_hot = (
+            seg_rows.join(F.broadcast(qdf.filter("neg")), "term")
+            .groupBy("query_id")
+            .agg(F.sum("n_postings").alias("neg_postings"))
+            .filter(F.col("neg_postings") > max_neg_postings)
+            .orderBy(F.desc("neg_postings"))
+            .limit(1)
+            .collect()
+        )
+        if neg_hot:
+            r = neg_hot[0]
+            raise RuntimeError(
+                f"query {r['query_id']}: must_not terms match "
+                f"{r['neg_postings']} postings > {max_neg_postings}; a "
+                "corpus-hot negative term needs banded mode (band_size) "
+                "where each band's exclusion set is bounded"
+            )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])

@@ -775,19 +775,29 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     pair graph. The step every dedup pipeline needs after pair
     generation: pairs → clusters → keep min-id representative.
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(graph diameter) rounds — near-dup clusters are shallow (most
-    are stars around a template), so 3-5 rounds in practice,
-    ``max_iters`` as the stop-loss. Each round is one join + one
-    groupBy, all Catalyst-planned; labels are localCheckpoint-ed per
-    round so lineage stays flat (an iterative plan otherwise doubles
-    per round). DuckDB twin: WITH RECURSIVE min-reachable-label
-    (gate entry ``dedup_clusters``).
+    Iterative min-label propagation WITH pointer-jumping: each round
+    every node takes the min of its own label and its neighbors'
+    labels, then shortcuts through its label's label (labels are
+    always node ids, so the lookup is defined). The shortcut step
+    halves remaining path lengths — O(log diameter) rounds instead of
+    O(diameter), so versioned-document chains (which upsert/append
+    produce, and which exceed plain propagation's 20-round stop-loss
+    at corpus scale) converge in ~log2(len) rounds
+    (tests/test_dedup.py chain property test). Each round is two
+    joins + one groupBy, all Catalyst-planned; labels are
+    localCheckpoint-ed per round so lineage stays flat (an iterative
+    plan otherwise doubles per round). DuckDB twin: WITH RECURSIVE
+    min-reachable-label (gate entry ``dedup_clusters``).
+
+    Raises ``RuntimeError`` if labels still changed after
+    ``max_iters`` rounds — an unconverged result is silently WRONG
+    cluster ids, never returned (round-4 verdict #3).
 
     Deterministic: pure min-semilattice fixpoint — iteration order
     can't change the result.
     """
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1")
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.unionByName(
         edges.select(
@@ -813,13 +823,32 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .agg(F.min("nb_label").alias("min_nb"))
             .withColumnRenamed("doc_a", "doc_id")
         )
+        propagated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce("min_nb", F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # Pointer jumping: shortcut each node through its label's own
+        # label (label values are node ids by construction). This is
+        # the hook that turns O(diameter) into O(log diameter) — a
+        # 1000-version chain converges in ~10 rounds, not 1000.
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            propagated.alias("p")
+            .join(
+                propagated.select(
+                    F.col("doc_id").alias("lbl_key"),
+                    F.col("cluster_id").alias("lbl_lbl"),
+                ),
+                F.col("p.cluster_id") == F.col("lbl_key"),
+                "left",
+            )
             .select(
                 "doc_id",
                 F.least(
                     F.col("cluster_id"),
-                    F.coalesce("min_nb", F.col("cluster_id")),
+                    F.coalesce("lbl_lbl", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
             .localCheckpoint()
@@ -833,6 +862,12 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — the pair graph has "
+            "pathological structure; raise max_iters"
+        )
     return labels
 
 
@@ -1096,6 +1131,8 @@ def winnow_fingerprints(
     """
     from pyspark.sql.window import Window
 
+    if k < 1 or w < 1:
+        raise ValueError(f"winnowing needs k >= 1 and w >= 1, got k={k} w={w}")
     toks = tokenize(df, text_col, id_col)
     w_ord = Window.partitionBy(id_col).orderBy("pos")
     t = toks
@@ -1104,7 +1141,8 @@ def winnow_fingerprints(
         name = f"_lead{i}"
         t = t.withColumn(name, F.lead("term", i).over(w_ord))
         lead_cols.append(name)
-    t = t.filter(F.col(lead_cols[-1]).isNotNull())
+    if lead_cols:  # k=1: unigram fingerprints, no lead filter needed
+        t = t.filter(F.col(lead_cols[-1]).isNotNull())
     gram = F.concat_ws(" ", "term", *lead_cols)
     h = (
         F.conv(F.substring(F.md5(gram), 1, 15), 16, 10)

@@ -27,7 +27,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, fields as dc_fields
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +38,8 @@ from ..operators.bm25 import impacts
 from ..operators.postings import INDEX_SCHEMA, build_segments
 from ..operators.stats import CorpusStats, corpus_stats, document_frequencies
 from .checkpoint import Manifest, stage_fingerprint
+from .metrics import delta as _metrics_delta
+from .metrics import executor_totals as _executor_totals
 
 
 @dataclass
@@ -60,7 +62,10 @@ class BuiltIndex:
     def open(cls, out_dir: str) -> "BuiltIndex":
         with open(os.path.join(out_dir, "stats.json")) as f:
             s = json.load(f)
-        return cls(out_dir=out_dir, **s)
+        known = {f.name for f in dc_fields(cls)}
+        return cls(
+            out_dir=out_dir, **{k: v for k, v in s.items() if k in known}
+        )
 
 
 def build_index(
@@ -109,9 +114,14 @@ def build_index(
             man.misses += 1
             man.begin("docs", fp_docs)
             t0 = time.time()
+            snap = _executor_totals(spark)
             files.write.mode("overwrite").parquet(docs_path)
             n = spark.read.parquet(docs_path).count()
             man.complete("docs", n, docs_path, (time.time() - t0) * 1000)
+            man.stages["docs"]["shuffle"] = _metrics_delta(
+                snap, _executor_totals(spark)
+            )
+            man.save()
         docs = spark.read.parquet(docs_path)
         n_files = docs.count()
 
@@ -136,6 +146,7 @@ def build_index(
                 shutil.rmtree(derived)
         man.begin("tf", fp_tf)
         t0 = time.time()
+        snap = _executor_totals(spark)
         # colocated variant: exchange moved below the explode (content
         # bytes, not tf rows) — measured 2.25× on this stage
         # (BENCH/tf_ab.json; tokenize.term_frequencies_colocated).
@@ -144,7 +155,12 @@ def build_index(
         ).parquet(tf_path)
         n = spark.read.parquet(tf_path).count()
         man.complete("tf", n, tf_path, (time.time() - t0) * 1000)
+        man.stages["tf"]["shuffle"] = _metrics_delta(
+            snap, _executor_totals(spark)
+        )
+        man.save()
     tf = spark.read.parquet(tf_path)
+    snap_derived = _executor_totals(spark)
     # dl = Σ tf per doc — derived from the checkpointed TF table, so
     # the corpus is tokenized exactly ONCE. Left join keeps zero-token
     # docs (dl=0): N/avgdl count every document. Recomputed whenever
@@ -170,6 +186,15 @@ def build_index(
             "overwrite"
         ).parquet(doc_map_path)
 
+    # dl + doc_map + eager corpus stats ran between the tf and
+    # postings windows; record their (small) shuffle share so the
+    # per-stage accounting sums to the build total.
+    man.stages["derived_dl_stats"] = {
+        "status": "complete",
+        "shuffle": _metrics_delta(snap_derived, _executor_totals(spark)),
+    }
+    man.save()
+
     # ---------------- stage: postings (salted build + shuffle-merge),
     # written in bucket groups for intra-stage resume.
     fp_post = stage_fingerprint(
@@ -181,6 +206,7 @@ def build_index(
     if not man.is_complete("postings", fp_post):
         man.misses += 1
         man.begin("postings", fp_post)
+        snap_post = _executor_totals(spark)
         done = man.completed_partitions("postings", fp_post)
         tdict = None
         if hashed_term_keys:
@@ -270,6 +296,15 @@ def build_index(
         t0 = time.time()
         total = spark.read.parquet(postings_path).count()
         man.complete("postings", total, postings_path, (time.time() - t0) * 1000)
+        # Per-stage shuffle-byte accounting: bytes shuffled per input
+        # byte is the transferable 4N-cluster scaling predictor
+        # (plans/metrics.py). Covers the whole postings window —
+        # stats/df/impacts feed it lazily, so their exchanges are
+        # counted where they execute.
+        man.stages["postings"]["shuffle"] = _metrics_delta(
+            snap_post, _executor_totals(spark)
+        )
+        man.save()
     else:
         man.hits += 1
 

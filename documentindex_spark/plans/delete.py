@@ -73,15 +73,20 @@ def delete_documents(
     if not ids:
         return len(load_tombstones(spark, out_dir))
     built = BuiltIndex.open(out_dir)
+    # Guard BEFORE persisting: compute the projected distinct total
+    # (existing ∪ new) and raise without writing — an append-then-raise
+    # would leave the over-cap tombstone set durably applied for any
+    # later Engine.open / concurrent reader (round-4 advice).
+    projected = frozenset(load_tombstones(spark, out_dir) | set(ids))
+    if len(projected) > max_tombstone_frac * built.n_docs:
+        raise RuntimeError(
+            f"{len(projected)} tombstones would exceed "
+            f"{max_tombstone_frac:.0%} of {built.n_docs} docs — "
+            "compact_index() before deleting more"
+        )
     df = spark.createDataFrame([(d,) for d in ids], "doc_id long")
     df.coalesce(1).write.mode("append").parquet(_tombstone_path(out_dir))
-    total = load_tombstones(spark, out_dir)
-    if len(total) > max_tombstone_frac * built.n_docs:
-        raise RuntimeError(
-            f"{len(total)} tombstones exceed {max_tombstone_frac:.0%} of "
-            f"{built.n_docs} docs — compact_index() before deleting more"
-        )
-    return len(total)
+    return len(projected)
 
 
 def load_tombstones(spark: SparkSession, out_dir: str) -> frozenset:

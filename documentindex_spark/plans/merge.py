@@ -67,11 +67,11 @@ def merge_indexes(
                 )
     os.makedirs(out_dir, exist_ok=True)
 
-    shards = [BuiltIndex.open(d) for d in shard_dirs]
+    [BuiltIndex.open(d) for d in shard_dirs]  # validates each shard dir
     docs_parts: list[DataFrame] = []
     tf_parts: list[DataFrame] = []
     off = 0
-    for d, s in zip(shard_dirs, shards):
+    for d in shard_dirs:
         sdocs = spark.read.parquet(os.path.join(d, "docs"))
         stf = spark.read.parquet(os.path.join(d, "tf"))
         docs_parts.append(
@@ -84,7 +84,11 @@ def merge_indexes(
                 "doc_id", (F.col("doc_id") + F.lit(off)).cast("long")
             )
         )
-        off += s.n_docs
+        # Offset by max(doc_id)+1, NOT row count: compacted shards keep
+        # surviving doc_ids with holes (plans/delete.py), so count-based
+        # offsets would collide re-ids across shards silently.
+        smax = sdocs.agg(F.max("doc_id")).first()[0]
+        off += (int(smax) + 1) if smax is not None else 0
 
     docs = reduce(lambda a, b: a.unionByName(b), docs_parts)
     tf = reduce(lambda a, b: a.unionByName(b), tf_parts)

@@ -208,3 +208,96 @@ def test_correct_query_and_search(engine):
     a = sorted(map(tuple, engine.search_corrected(typo, k=5).collect()))
     b = sorted(map(tuple, engine.search(term, k=5).collect()))
     assert a == b and len(a) > 0
+
+
+def test_decompose_question_rules():
+    """Deterministic clause splitting: punctuation + multi-word
+    connectives split; bare 'and' between concepts does NOT."""
+    from documentindex_spark.api import decompose_question
+
+    assert decompose_question("what is a heap") == ["what is a heap"]
+    assert decompose_question("merge and sort") == ["merge and sort"]
+    got = decompose_question(
+        "How does quicksort choose a pivot, and what is zstd compression?"
+    )
+    assert got == [
+        "How does quicksort choose a pivot",
+        "is zstd compression",
+    ]
+    # sentence punctuation splits; empty/garbage fragments dropped
+    assert decompose_question("First thing? Second thing! ...") == [
+        "First thing",
+        "Second thing",
+    ]
+
+
+@pytest.fixture(scope="module")
+def two_topic_engine(spark, tmp_path_factory):
+    """Corpus engineered so a combined two-clause query's top-k is
+    monopolized by clause 1 (more matching rare terms per doc), while
+    clause 2's single evidence doc ranks below the cut."""
+    from documentindex_spark.sources.registry import with_doc_ids
+
+    rows = [
+        (
+            "qa",
+            f"sort_{i}.md",
+            "c0",
+            "quicksort partition choose recursion pivot stack " * 6,
+        )
+        for i in range(3)
+    ] + [
+        ("qa", "zstd.md", "c0", "zstd compression entropy coding frames " * 6),
+    ] + [
+        ("qa", f"filler_{i}.md", "c0", f"telemetry logging notes shard {i} " * 4)
+        for i in range(6)
+    ]
+    df = with_doc_ids(
+        spark.createDataFrame(
+            rows, "repo string, path string, commit string, content string"
+        )
+    ).cache()
+    df.count()
+    out = str(tmp_path_factory.mktemp("qa_two_topic"))
+    eng = Engine.index(
+        spark, df, out, input_id="qa-two-topic", bucket_groups=1
+    ).persist()
+    yield eng
+    df.unpersist()
+
+
+def test_answer_decomposed_covers_both_clauses(two_topic_engine):
+    """Round-4 verdict #7: a two-clause question where single-probe
+    search misses clause 2's evidence entirely (clause 1's docs match
+    more high-idf terms and fill the whole top-k), but decomposed
+    answering probes each clause and retrieves both."""
+    q = (
+        "How does quicksort partition choose a recursion pivot, "
+        "and what is zstd compression?"
+    )
+    zstd_id = int(
+        two_topic_engine.docs.filter("path = 'zstd.md'").head()["doc_id"]
+    )
+
+    single = two_topic_engine.answer(
+        q, k_per_probe=2, max_probes=1, threshold=0.1
+    )
+    single_ids = {c.doc_id for c in single["citations"]}
+    assert single_ids, "combined probe should still cite clause-1 docs"
+    assert zstd_id not in single_ids, (
+        "test premise: the combined top-k must miss clause 2's doc"
+    )
+
+    dec = two_topic_engine.answer(
+        q, k_per_probe=2, max_probes=1, threshold=0.1, decompose=True
+    )
+    dec_ids = [c.doc_id for c in dec["citations"]]
+    assert zstd_id in dec_ids, "decomposed answer must cover clause 2"
+    assert single_ids & set(dec_ids), "clause 1 evidence still cited"
+    assert len(dec_ids) == len(set(dec_ids)), "shared exclusion set"
+    assert "clauses" in dec and len(dec["clauses"]) == 2
+    assert 0.0 <= dec["confidence"] <= 1.0
+    # ranks are a contiguous 1..n across clauses
+    assert [c.rank for c in dec["citations"]] == list(
+        range(1, len(dec_ids) + 1)
+    )

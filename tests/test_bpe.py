@@ -61,6 +61,66 @@ def test_spark_induction_and_application(spark):
     assert len(by_word) == 6  # every word of every doc encoded
 
 
+def test_frequency_floor_and_topn_truncation(spark):
+    """Scale-degradation policy (round-4 verdict #4): min_freq drops
+    rare words before the collect; top_n_words keeps the N most
+    frequent deterministically (freq desc, word asc); and the induced
+    merges equal train_bpe on the truncated word table exactly."""
+    docs = spark.createDataFrame(
+        # freqs: aa:4, ab:2, zz:1  (zz below the floor)
+        [(0, "aa ab zz"), (1, "aa aa ab"), (2, "aa")],
+        "doc_id long, text string",
+    )
+    with_floor = [
+        tuple(r)
+        for r in bpe.bpe_merges(docs, 10, min_freq=2).orderBy("rank").collect()
+    ]
+    expected = [
+        (i, l, r, f)
+        for i, (l, r, f) in enumerate(
+            bpe.train_bpe([("aa", 4), ("ab", 2)], 10)
+        )
+    ]
+    assert with_floor == expected
+
+    top1 = [
+        tuple(r)
+        for r in bpe.bpe_merges(docs, 10, top_n_words=1).orderBy("rank").collect()
+    ]
+    assert top1 == [
+        (i, l, r, f)
+        for i, (l, r, f) in enumerate(bpe.train_bpe([("aa", 4)], 10))
+    ]
+
+
+def test_vocab_over_collect_cap_degrades_not_refuses(spark):
+    """A vocabulary larger than max_vocab_collect no longer raises:
+    it auto-truncates to the top max_vocab_collect words by (freq
+    desc, word asc) and induces merges from that table."""
+    # 8 distinct words, freqs aa:4 bb:3 cc:2 dd..hh:1 — cap=3 keeps
+    # exactly {aa, bb, cc}.
+    rows = (
+        [(i, "aa") for i in range(4)]
+        + [(10 + i, "bb") for i in range(3)]
+        + [(20 + i, "cc") for i in range(2)]
+        + [(30, "dd ee ff gg hh")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in bpe.bpe_merges(docs, 10, max_vocab_collect=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    expected = [
+        (i, l, r, f)
+        for i, (l, r, f) in enumerate(
+            bpe.train_bpe([("aa", 4), ("bb", 3), ("cc", 2)], 10)
+        )
+    ]
+    assert got == expected
+
+
 def test_determinism_across_partitionings(spark):
     a = spark.createDataFrame(
         [(0, "x y x"), (1, "y z")], "doc_id long, text string"

@@ -410,6 +410,36 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert got == {i: 0 for i in range(12)}
 
 
+def test_duplicate_clusters_deep_chain_pointer_jumping(spark):
+    """A 120-hop path (diameter far beyond the 20-round stop-loss for
+    plain propagation — the versioned-document-chain shape upsert and
+    append produce) converges under the default max_iters because the
+    pointer-jumping shortcut halves path lengths per round
+    (round-4 verdict #3)."""
+    n = 121
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_duplicate_clusters_unconverged_raises(spark):
+    """Non-convergence is an ERROR, never silently-wrong labels: a
+    chain that cannot settle in max_iters=1 raises instead of
+    returning partial propagation (round-4 verdict #3)."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iters=1)
+
+
 def test_duplicate_clusters_matches_duckdb_recursive(spark):
     """Parked gate entry dedup_clusters: Spark fixpoint == DuckDB
     WITH RECURSIVE min-reachable-label on the sf0.001 corpus (the

@@ -185,3 +185,11 @@ def test_tombstone_overflow_guard(spark, repo_files_small,
         delete_documents(
             spark, out, range(150), max_tombstone_frac=0.5
         )
+    # Guard-before-write (round-4 advice): the rejected delete must
+    # leave NO tombstones behind — a later open sees an empty set.
+    assert load_tombstones(spark, out) == frozenset()
+    # And a subsequent under-cap delete still works normally.
+    assert delete_documents(
+        spark, out, [0, 1], max_tombstone_frac=0.5
+    ) == 2
+    assert load_tombstones(spark, out) == frozenset({0, 1})

@@ -79,11 +79,21 @@ def run_once(zip_path: str, corpus: str, cores: int, tmp: str) -> dict:
     raise RuntimeError(f"no JSON from spark-submit:\n{stdout[-2000:]}")
 
 
+# Healthy-window reference for the early-abort gate (BASELINE.md §15):
+# an 8-core 80k-file build burns 432-713 cpu_sec on an uncontended box.
+# Co-tenant windows inflate cpu_sec 2-6x; gating on the FIRST run's
+# cpu_sec (scaled linearly by n_files) aborts a doomed session in one
+# run instead of wasting the whole window.
+HEALTHY_CPU_SEC_80K_8C = (432.0, 713.0)
+ABORT_FACTOR = 1.35  # abort when first-run cpu_sec > hi * this
+
+
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    tag = sys.argv[5] if len(sys.argv) > 5 else ""
     # tmpfs workspace: with corpus+index on spinning /tmp the build is
     # IO-wait bound (loadavg ~2 during a 4-core run) and wall-clock
     # stops responding to cores at all.
@@ -93,8 +103,38 @@ def main() -> None:
         zip_path = make_engine_zip(tmp)
         corpus = gen_corpus(tmp, n_files)
         results: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+        # Early-abort gate: probe with ONE lo-core run and compare its
+        # cpu_sec against the healthy reference scaled by corpus size
+        # (only calibrated for the 8-core level; other lo levels skip).
+        first = run_once(zip_path, corpus, n_lo, tmp)
+        print(json.dumps(first), flush=True)
+        if n_lo == 8:
+            scale = n_files / 80000.0
+            hi_ok = HEALTHY_CPU_SEC_80K_8C[1] * scale * ABORT_FACTOR
+            if first["cpu_sec"] > hi_ok:
+                probe = {
+                    "aborted": True,
+                    "reason": "first-run cpu_sec gate",
+                    "n_files": n_files,
+                    "first_run": first,
+                    "healthy_cpu_sec_hi_scaled": round(hi_ok, 1),
+                }
+                print(json.dumps(probe), flush=True)
+                os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+                with open(
+                    os.path.join(
+                        REPO, "BENCH", f"scaling_probe{tag}_aborted.json"
+                    ),
+                    "w",
+                ) as f:
+                    json.dump(probe, f, indent=1)
+                return
+        results[n_lo].append(first)
         # interleave runs so background-noise drift hits both levels
-        for _ in range(repeats):
+        r = run_once(zip_path, corpus, n_hi, tmp)
+        results[n_hi].append(r)
+        print(json.dumps(r), flush=True)
+        for _ in range(repeats - 1):
             for cores in (n_lo, n_hi):
                 r = run_once(zip_path, corpus, cores, tmp)
                 results[cores].append(r)
@@ -123,7 +163,8 @@ def main() -> None:
         print(json.dumps(summary), flush=True)
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(
-            os.path.join(REPO, "BENCH", f"scaling_{n_lo}_{n_hi}.json"), "w"
+            os.path.join(REPO, "BENCH", f"scaling_{n_lo}_{n_hi}{tag}.json"),
+            "w",
         ) as f:
             json.dump(summary, f, indent=1)
     finally:
