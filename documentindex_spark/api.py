@@ -27,6 +27,7 @@ coverage-based confidence, the same result envelope
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
@@ -254,6 +255,84 @@ class Engine:
             os.path.join(dest_dir, "docs")
         )
         return Engine(self.spark, built, docs, self.text_col)
+
+    def maintenance_stats(self) -> dict:
+        """Index-health counters driving the ``maintain()`` policy:
+        how much deferred work (tombstones, stale-stats append
+        windows) has accumulated since the index last described
+        exact global truth. Reads stats.json + the tombstone store;
+        no Spark job."""
+        with open(os.path.join(self.built.out_dir, "stats.json")) as f:
+            meta = json.load(f)
+        # n_docs = docs under exact global stats (stats.json is never
+        # advanced by stale appends); n_docs_total includes them.
+        n_exact = int(meta["n_docs"])
+        n_total = int(meta.get("n_docs_total", n_exact))
+        n_stale = n_total - n_exact
+        n_tomb = len(self._deleted)
+        return {
+            "n_docs_exact_stats": n_exact,
+            "n_docs_total": n_total,
+            "stale_docs": n_stale,
+            "stale_frac": (n_stale / n_total) if n_total else 0.0,
+            "stale_append_groups": len(meta.get("stale_appends", [])),
+            "tombstones": n_tomb,
+            "tombstone_frac": (n_tomb / n_total) if n_total else 0.0,
+        }
+
+    def maintain(
+        self,
+        input_id: str,
+        dest_dir: str | None = None,
+        max_stale_frac: float = 0.10,
+        max_tombstone_frac: float = 0.10,
+        **build_kwargs,
+    ) -> tuple[str, "Engine"]:
+        """Merge-policy analog (Lucene's background maintenance; the
+        reference's cache refresh cycle, cache.py:361): fold deferred
+        work back to exact truth when it crosses a documented
+        threshold, and do nothing when the index is healthy.
+
+        Decision order (one action per call, strongest first):
+
+        - ``tombstone_frac > max_tombstone_frac`` → ``compact()`` into
+          ``dest_dir`` (required then): drops tombstoned docs AND
+          re-derives global stats, so it also clears any stale-append
+          window in the same rewrite.
+        - else ``stale_frac > max_stale_frac`` →
+          ``plans.incremental.refresh_index`` in place: global stats
+          re-derived over the combined tf, no re-tokenize.
+
+        Returns ``(action, engine)`` where action ∈ {"noop",
+        "refresh", "compact"} and engine is ``self`` on "noop", else
+        a FRESH engine over the maintained index (this engine's
+        cached scans are stale after a non-noop call).
+        """
+        st = self.maintenance_stats()
+        if st["tombstone_frac"] > max_tombstone_frac:
+            if dest_dir is None:
+                raise ValueError(
+                    f"tombstone_frac {st['tombstone_frac']:.2f} > "
+                    f"{max_tombstone_frac} needs a compaction, which "
+                    "rewrites the index — pass dest_dir"
+                )
+            return "compact", self.compact(dest_dir, input_id, **build_kwargs)
+        if st["stale_frac"] > max_stale_frac:
+            from .plans.incremental import refresh_index
+
+            built = refresh_index(
+                self.spark, self.built, input_id,
+                text_col=self.text_col, **build_kwargs,
+            )
+            docs = self.spark.read.parquet(
+                os.path.join(built.out_dir, "docs")
+            )
+            return "refresh", Engine(
+                self.spark, built, docs, self.text_col,
+                cache_capacity=self._cache_capacity,
+                cache_ttl_seconds=self._cache_ttl,
+            )
+        return "noop", self
 
     def update_documents(
         self,
