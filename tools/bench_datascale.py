@@ -67,6 +67,16 @@ def main() -> None:
                     "cpu_sec_median": round(
                         statistics.median(x["cpu_sec"] for x in runs), 1
                     ),
+                    # the noise-robust signal on this box (CLAUDE.md):
+                    # wall-clock swings ±50% with co-tenant load, but
+                    # cpu-seconds per file measures the WORK, which is
+                    # what must stay flat for weak scaling
+                    "cpu_ms_per_file_median": round(
+                        1000
+                        * statistics.median(x["cpu_sec"] for x in runs)
+                        / n,
+                        2,
+                    ),
                     "runs": runs,
                 }
             )
