@@ -247,6 +247,23 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
     )
 
 
+def q_bm25_facet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-facet (lang) top-5 for 'merge sort' via the sharded
+    two-stage grouped top-k (operators/bm25.py::topk_grouped —
+    hot-facet-safe: stage 1 ranks within (facet, doc_id % shards)).
+    Ranks order by (round(score,6) DESC, doc_id) on BOTH sides, so
+    rank assignment is reproducible across engines whose float
+    summation order differs."""
+    from documentindex_spark.operators.bm25 import topk_grouped
+
+    docs = _docs(spark, sf_dir)
+    scored = score_query(_impact_df(spark, sf_dir), "merge sort")
+    withf = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return topk_grouped(withf, "lang", 5).select(
+        "lang", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _driver_index_dir(sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     return f"/tmp/dix_driver_index_{tag}"
@@ -1927,6 +1944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_dedup": q_sentence_dedup,
         "bmw_boolean_topk": _bmw_boolean,
         "bmw_boolean_must": _bmw_boolean_must,
+        # round-5 addition: grouped/faceted top-k (new operator —
+        # parked because the graded zone is capped at 50; full-oracle)
+        "bm25_facet_topk": q_bm25_facet_topk,
         # -------- zone 3: rows-only by design (pytest-pinned) --------
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -2018,6 +2038,20 @@ FROM inj
         "dfreq_hot": _ORACLE_TOKS
         + "SELECT term, df FROM dfreq WHERE df >= 100",
         "bm25_topk_merge_sort": _bm25_oracle(["merge", "sort"], 10),
+        "bm25_facet_topk": _ORACLE_TOKS
+        + """
+, scored AS (
+    SELECT doc_id, sum(impact) AS score
+    FROM imp WHERE term IN ('merge', 'sort') GROUP BY doc_id
+)
+SELECT d.lang, s.doc_id, round(s.score, 6) AS score,
+       row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY round(s.score, 6) DESC, s.doc_id ASC
+       ) AS rank
+FROM scored s JOIN documents d USING (doc_id)
+QUALIFY rank <= 5
+""",
         "bm25_topk_single_hot": _bm25_oracle(["the"], 10),
         "bm25_topk_three_terms": _bm25_oracle(
             ["filter", "spark", "window"], 10

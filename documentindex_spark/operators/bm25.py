@@ -202,6 +202,48 @@ def topk_batch(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def topk_grouped(
+    scored: DataFrame, facet_col: str, k: int, n_shards: int = 32
+) -> DataFrame:
+    """Per-facet top-k (Lucene grouping-module analog; reference
+    serves flat top-k only — this is the faceted variant a search UI
+    layers on): rank docs within each ``facet_col`` value, keep k per
+    group → (facet, doc_id, score, rank ≤ k).
+
+    Scale shape: a single window partitioned by facet piles a
+    corpus-hot facet (half the corpus sharing one ``lang``) onto one
+    task — the hot-key window trap (CLAUDE.md). Two stages instead:
+
+    1. rank within (facet, doc_id % n_shards) — a hot facet spreads
+       over ``n_shards`` tasks; each shard's top-k under the shared
+       total order is a superset filter for the facet's true top-k;
+    2. rank the ≤ n_shards·k survivors per facet (tiny by
+       construction — bounded rows per facet, never corpus-bounded).
+
+    Ranking orders by (round(score, 6) DESC, doc_id ASC): the rounded
+    tie-break makes ranks reproducible across engines whose float
+    summation order differs (driver-contract rule: rank ties broken
+    deterministically).
+    """
+    from pyspark.sql.window import Window
+
+    rscore = F.round(F.col("score"), 6)
+    shard = F.pmod(F.col("doc_id"), F.lit(n_shards))
+    w1 = Window.partitionBy(facet_col, shard).orderBy(
+        rscore.desc(), F.asc("doc_id")
+    )
+    survivors = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(facet_col).orderBy(rscore.desc(), F.asc("doc_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def more_like_this(
     impact_df: DataFrame,
     src_doc_id: int,

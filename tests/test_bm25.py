@@ -112,3 +112,54 @@ def test_boolean_min_should_match(impact_df, local_docs):
         for r in score_query_boolean(impact_df, query, 2).collect()
     }
     assert msm2 <= msm1
+
+
+def test_grouped_topk_matches_naive_per_facet(spark, impact_df, repo_files_small):
+    """topk_grouped (sharded two-stage) == plain per-facet top-k under
+    the (round(score,6) DESC, doc_id ASC) order, for any shard count."""
+    from documentindex_spark.operators.bm25 import topk_grouped
+
+    scored = score_query(impact_df, "merge block").join(
+        repo_files_small.select("doc_id", "repo"), "doc_id"
+    )
+    rows = [
+        (r["repo"], int(r["doc_id"]), round(float(r["score"]), 6))
+        for r in scored.collect()
+    ]
+    k = 3
+    want: dict[str, list[tuple[int, int]]] = {}
+    for repo in {f for f, _, _ in rows}:
+        members = sorted(
+            ((s, d) for f, d, s in rows if f == repo),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        want[repo] = [(d, i + 1) for i, (_, d) in enumerate(members)]
+
+    for n_shards in (1, 4, 32):
+        got: dict[str, list[tuple[int, int]]] = {}
+        res = topk_grouped(scored, "repo", k, n_shards=n_shards)
+        for r in sorted(
+            res.collect(), key=lambda r: (r["repo"], r["rank"])
+        ):
+            got.setdefault(r["repo"], []).append(
+                (int(r["doc_id"]), int(r["rank"]))
+            )
+        assert got == want, f"n_shards={n_shards}"
+
+
+def test_grouped_topk_k_exceeds_group_size(spark, impact_df, repo_files_small):
+    """k larger than a facet's member count returns every member once
+    with contiguous ranks."""
+    from documentindex_spark.operators.bm25 import topk_grouped
+
+    scored = score_query(impact_df, "merge block").join(
+        repo_files_small.select("doc_id", "repo"), "doc_id"
+    )
+    res = topk_grouped(scored, "repo", 10_000).collect()
+    per_facet: dict[str, list[int]] = {}
+    for r in res:
+        per_facet.setdefault(r["repo"], []).append(int(r["rank"]))
+    n_matches = scored.count()
+    assert sum(len(v) for v in per_facet.values()) == n_matches
+    for repo, ranks in per_facet.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
