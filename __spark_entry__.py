@@ -264,6 +264,63 @@ def q_bm25_facet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet aggregations for 'merge sort' over lang (operators/
+    bm25.py::facet_counts — one map-side-combined hash agg; the
+    Elasticsearch terms-agg sidebar next to the hit list)."""
+    from documentindex_spark.operators.bm25 import facet_counts
+
+    docs = _docs(spark, sf_dir)
+    scored = score_query(_impact_df(spark, sf_dir), "merge sort")
+    withf = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return facet_counts(withf, "lang")
+
+
+def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 (rows 11-20) of 'merge sort' via cursor pagination
+    (operators/bm25.py::search_after). The cursor is page 1's last
+    (rounded score, doc_id) — a 1-row driver collect; the page-2 scan
+    is a pushed strictly-after filter + TakeOrderedAndProject, never
+    a rank-20-and-slice."""
+    from documentindex_spark.operators.bm25 import search_after
+
+    scored = score_query(_impact_df(spark, sf_dir), "merge sort")
+    cur = (
+        scored.orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+        .limit(10)
+        .orderBy(F.round("score", 6).asc(), F.desc("doc_id"))
+        .limit(1)
+        .select(F.round("score", 6).alias("s"), "doc_id")
+        .collect()[0]
+    )
+    page2 = search_after(scored, float(cur["s"]), int(cur["doc_id"]), 10)
+    return page2.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def q_query_expansion_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-relevance feedback (operators/bm25.py::
+    expand_query_rm3): top-10 feedback docs for 'merge sort' → top-5
+    expansion terms by in-feedback impact → weighted rescore
+    (1.0 original / 0.5 expansion) → top-10."""
+    from documentindex_spark.operators.bm25 import expand_query_rm3
+
+    imp = _impact_df(spark, sf_dir)
+    rescored = expand_query_rm3(
+        imp, "merge sort", fb_k=10, n_expand=5, expand_weight=0.5
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+    return (
+        rescored.orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def _driver_index_dir(sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     return f"/tmp/dix_driver_index_{tag}"
@@ -1944,9 +2001,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_dedup": q_sentence_dedup,
         "bmw_boolean_topk": _bmw_boolean,
         "bmw_boolean_must": _bmw_boolean_must,
-        # round-5 addition: grouped/faceted top-k (new operator —
-        # parked because the graded zone is capped at 50; full-oracle)
+        # round-5 additions: grouped/faceted top-k, facet aggs, cursor
+        # pagination, pseudo-relevance-feedback expansion (new
+        # operators — parked because the graded zone is capped at 50;
+        # all full-oracle)
         "bm25_facet_topk": q_bm25_facet_topk,
+        "bm25_facet_counts": q_bm25_facet_counts,
+        "bm25_search_after": q_bm25_search_after,
+        "query_expansion_rm3": q_query_expansion_rm3,
         # -------- zone 3: rows-only by design (pytest-pinned) --------
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -2051,6 +2113,66 @@ SELECT d.lang, s.doc_id, round(s.score, 6) AS score,
        ) AS rank
 FROM scored s JOIN documents d USING (doc_id)
 QUALIFY rank <= 5
+""",
+        "bm25_facet_counts": _ORACLE_TOKS
+        + """
+, scored AS (
+    SELECT doc_id, sum(impact) AS score
+    FROM imp WHERE term IN ('merge', 'sort') GROUP BY doc_id
+)
+SELECT d.lang,
+       count(*)::BIGINT AS n_matches,
+       round(max(s.score), 6) AS max_score,
+       round(avg(s.score), 6) AS avg_score
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""",
+        "bm25_search_after": _ORACLE_TOKS
+        + """
+, scored AS (
+    SELECT doc_id, sum(impact) AS score
+    FROM imp WHERE term IN ('merge', 'sort') GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, round(score, 6) AS score,
+           row_number() OVER (
+               ORDER BY round(score, 6) DESC, doc_id ASC
+           ) AS g_rank
+    FROM scored
+)
+SELECT doc_id, score, (g_rank - 10)::INT AS rank
+FROM ranked WHERE g_rank BETWEEN 11 AND 20
+""",
+        "query_expansion_rm3": _ORACLE_TOKS
+        + """
+, scored0 AS (
+    SELECT doc_id, sum(impact) AS score
+    FROM imp WHERE term IN ('merge', 'sort') GROUP BY doc_id
+),
+fb AS (
+    SELECT doc_id FROM scored0
+    ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+),
+expterms AS (
+    SELECT term, round(sum(impact), 6) AS w
+    FROM imp JOIN fb USING (doc_id)
+    WHERE term NOT IN ('merge', 'sort')
+    GROUP BY term ORDER BY w DESC, term ASC LIMIT 5
+),
+wterms AS (
+    SELECT 'merge' AS term, 1.0 AS wt
+    UNION ALL SELECT 'sort', 1.0
+    UNION ALL SELECT term, 0.5 FROM expterms
+),
+rescored AS (
+    SELECT i.doc_id, sum(i.impact * w.wt) AS score
+    FROM imp i JOIN wterms w USING (term) GROUP BY i.doc_id
+)
+SELECT doc_id, round(score, 6) AS score,
+       row_number() OVER (
+           ORDER BY round(score, 6) DESC, doc_id ASC
+       ) AS rank
+FROM rescored QUALIFY rank <= 10
 """,
         "bm25_topk_single_hot": _bm25_oracle(["the"], 10),
         "bm25_topk_three_terms": _bm25_oracle(

@@ -244,6 +244,122 @@ def topk_grouped(
     )
 
 
+def facet_counts(scored_with_facet: DataFrame, facet_col: str) -> DataFrame:
+    """Search-aggregation facet counts (the Elasticsearch terms-agg /
+    Lucene faceting-module analog; reference serves flat hits only —
+    this is the sidebar a search UI renders next to them): for the
+    matched-doc set, per ``facet_col`` value report match count and
+    score max/avg.
+
+    Scale shape: one hash aggregate over the scored set — partial
+    (map-side) combine collapses each facet to one row per task before
+    the exchange, so the shuffle is O(n_facets · n_tasks) regardless
+    of corpus size. No window, no hot-key pile-up.
+    """
+    return (
+        scored_with_facet.groupBy(facet_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.max("score"), 6).alias("max_score"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+    )
+
+
+def search_after(
+    scored: DataFrame, cursor_score: float, cursor_doc_id: int, k: int
+) -> DataFrame:
+    """Cursor pagination (the Lucene ``searchAfter`` / Elasticsearch
+    ``search_after`` shape): the next ``k`` results strictly after the
+    cursor ``(cursor_score, cursor_doc_id)`` in the rounded total
+    order (round(score, 6) DESC, doc_id ASC).
+
+    Deep paging without deep buffering: the strictly-after predicate
+    is an ordinary pushed filter, so page N costs the same one
+    TakeOrderedAndProject over the survivors as page 1 — never an
+    O(page_end) global sort+slice. Rounded comparison on both engines
+    makes page boundaries reproducible when float summation order
+    differs (driver-contract rule).
+
+    ``rank`` is page-relative (1..k).
+    """
+    from pyspark.sql.window import Window
+
+    rscore = F.round(F.col("score"), 6)
+    cs = F.lit(round(cursor_score, 6))
+    after = scored.filter(
+        (rscore < cs)
+        | ((rscore == cs) & (F.col("doc_id") > F.lit(cursor_doc_id)))
+    )
+    lim = after.orderBy(rscore.desc(), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.round(F.col("score"), 6).desc(), F.asc("doc_id"))
+    return lim.withColumn("rank", F.row_number().over(w))
+
+
+def expand_query_rm3(
+    impact_df: DataFrame,
+    query: str,
+    fb_k: int = 10,
+    n_expand: int = 5,
+    expand_weight: float = 0.5,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (deterministic RM3
+    analog; the classic two-pass retrieval loop the reference's
+    agentic multi-probe approximates with an LLM):
+
+    1. feedback set = top ``fb_k`` docs for the original query under
+       the rounded total order (round(score,6) DESC, doc_id ASC);
+    2. expansion terms = top ``n_expand`` NON-query terms by summed
+       impact within the feedback docs (round-6, ties by term ASC —
+       reproducible across engines);
+    3. rescore the corpus with per-term weights: 1.0 for original
+       terms, ``expand_weight`` for expansion terms, using the frozen
+       ordered float64 fold (term-ascending) over weighted impacts.
+
+    Returns (doc_id, score) — compose with :func:`topk` for ranked
+    output.
+
+    Scale shape: the feedback set is ``fb_k`` ids (driver-small by
+    construction — same class as the query-term postings collect in
+    BMW); expansion selection is one aggregate over those docs'
+    postings rows only (isin-pushed scan); the rescore is the same
+    single-pass scorer with a broadcast ≤ (len(query)+n_expand)-row
+    weight table. No corpus-sized intermediate at any step.
+    """
+    terms = query_terms(query)
+    if not terms:
+        return impact_df.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+
+    scored0 = score_query(impact_df, query)
+    fb_rows = (
+        scored0.orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+        .limit(fb_k)
+        .select("doc_id")
+        .collect()
+    )
+    fb_ids = [r["doc_id"] for r in fb_rows]
+
+    exp_rows = (
+        impact_df.filter(
+            F.col("doc_id").isin(fb_ids) & ~F.col("term").isin(terms)
+        )
+        .groupBy("term")
+        .agg(F.round(F.sum("impact"), 6).alias("w"))
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(n_expand)
+        .collect()
+    )
+    weights = [(t, 1.0) for t in terms] + [
+        (r["term"], float(expand_weight)) for r in exp_rows
+    ]
+    wdf = impact_df.sparkSession.createDataFrame(weights, ["term", "wt"])
+
+    matched = impact_df.join(F.broadcast(wdf), "term").select(
+        "doc_id", "term", (F.col("impact") * F.col("wt")).alias("impact")
+    )
+    return _ordered_sum(matched)
+
+
 def more_like_this(
     impact_df: DataFrame,
     src_doc_id: int,

@@ -163,3 +163,107 @@ def test_grouped_topk_k_exceeds_group_size(spark, impact_df, repo_files_small):
     assert sum(len(v) for v in per_facet.values()) == n_matches
     for repo, ranks in per_facet.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_facet_counts_matches_naive(spark, impact_df, repo_files_small):
+    """facet_counts == per-facet count/max/avg computed naively on the
+    collected scored set."""
+    from documentindex_spark.operators.bm25 import facet_counts
+
+    scored = score_query(impact_df, "merge block").join(
+        repo_files_small.select("doc_id", "repo"), "doc_id"
+    )
+    rows = [(r["repo"], float(r["score"])) for r in scored.collect()]
+    want = {}
+    for repo in {f for f, _ in rows}:
+        ss = [s for f, s in rows if f == repo]
+        want[repo] = (len(ss), round(max(ss), 6), round(sum(ss) / len(ss), 6))
+
+    got = {
+        r["repo"]: (
+            int(r["n_matches"]),
+            round(float(r["max_score"]), 6),
+            round(float(r["avg_score"]), 6),
+        )
+        for r in facet_counts(scored, "repo").collect()
+    }
+    assert got.keys() == want.keys()
+    for repo in want:
+        g, w = got[repo], want[repo]
+        assert g[0] == w[0] and g[1] == w[1], repo
+        assert abs(g[2] - w[2]) < 1e-9, repo
+
+
+def test_search_after_pages_tile_the_ranking(spark, impact_df):
+    """Successive search_after pages reproduce the full ranking under
+    (round(score,6) DESC, doc_id ASC) exactly, with no gaps/overlaps,
+    and the final partial page + empty page behave."""
+    from documentindex_spark.operators.bm25 import search_after
+
+    scored = score_query(impact_df, "merge block")
+    full = sorted(
+        ((round(float(r["score"]), 6), int(r["doc_id"])) for r in scored.collect()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    k = 7
+    pages: list[tuple[float, int]] = []
+    cursor = None
+    while True:
+        if cursor is None:
+            from pyspark.sql import functions as F
+
+            page = (
+                scored.orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+        else:
+            page = search_after(scored, cursor[0], cursor[1], k).collect()
+            ranks = [int(r["rank"]) for r in page]
+            assert ranks == list(range(1, len(page) + 1))
+        if not page:
+            break
+        got = [
+            (round(float(r["score"]), 6), int(r["doc_id"])) for r in page
+        ]
+        got.sort(key=lambda x: (-x[0], x[1]))
+        pages.extend(got)
+        cursor = got[-1]
+        if len(page) < k:
+            assert search_after(scored, cursor[0], cursor[1], k).count() == 0
+            break
+    assert pages == full
+
+
+def test_rm3_expansion_deterministic_and_weighted(spark, impact_df):
+    """expand_query_rm3: (a) twice-run identical; (b) with
+    expand_weight=0 it degrades to the plain query scores; (c) the
+    rescore includes docs matched only via expansion terms when
+    weight > 0."""
+    from documentindex_spark.operators.bm25 import expand_query_rm3
+
+    a = {
+        int(r["doc_id"]): round(float(r["score"]), 6)
+        for r in expand_query_rm3(impact_df, "merge block").collect()
+    }
+    b = {
+        int(r["doc_id"]): round(float(r["score"]), 6)
+        for r in expand_query_rm3(impact_df, "merge block").collect()
+    }
+    assert a == b and a
+
+    plain = {
+        int(r["doc_id"]): round(float(r["score"]), 6)
+        for r in score_query(impact_df, "merge block").collect()
+    }
+    zero = {
+        int(r["doc_id"]): round(float(r["score"]), 6)
+        for r in expand_query_rm3(
+            impact_df, "merge block", expand_weight=1e-12
+        ).collect()
+    }
+    # weight≈0: original-term docs keep (approximately) plain scores
+    for d, s in plain.items():
+        assert abs(zero[d] - s) < 1e-6, d
+    # weight>0 recruits docs that match only expansion terms
+    assert set(a) >= set(plain)
