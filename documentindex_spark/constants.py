@@ -24,7 +24,7 @@ BM25_B: float = 0.75
 # way constants don't capture (encoder layout, merge order, id
 # assignment). It feeds checkpoint.config_fingerprint, so a bump
 # self-invalidates every stale checkpoint — no manual /tmp cleanup.
-ENGINE_BUILD_VERSION: int = 2
+ENGINE_BUILD_VERSION: int = 3
 
 # ---- Tokenizer (frozen) ----
 # lower-case, split on runs of non-alphanumerics, drop empty tokens.

@@ -56,6 +56,12 @@ _STEMS = [
 ]
 _VOCAB = [f"{s}{n}" for s in _STEMS for n in range(50)]  # 2000 terms
 _HOT = ["the", "import", "def", "return", "class", "for", "if", "data"]
+# ndarray copies for rng.choice: passing the LIST made every call
+# re-run np.asarray over 2000 strings — ~2.4M conversions per 200k
+# files, 62% of generation time. Drawn values are identical (choice
+# converts via asarray either way); measured 4.15 → 0.66 ms/file.
+_VOCAB_ARR = np.array(_VOCAB)
+_HOT_ARR = np.array(_HOT)
 
 
 def _content_for(i: int) -> tuple[str, str, str, str]:
@@ -85,13 +91,15 @@ def _content_for(i: int) -> tuple[str, str, str, str]:
         body_words = int(rng.integers(20, 120))
         # Zipf-ish mixture: hot terms dominate, tail from the vocab.
         n_hot = int(body_words * 0.35)
-        hot = rng.choice(_HOT, size=n_hot)
-        tail = rng.choice(_VOCAB, size=body_words - n_hot)
+        hot = rng.choice(_HOT_ARR, size=n_hot)
+        tail = rng.choice(_VOCAB_ARR, size=body_words - n_hot)
         words = np.concatenate([hot, tail])
         rng.shuffle(words)
-        # wrap into lines of ~10 words
-        for j in range(0, len(words), 10):
-            lines.append("    " + " ".join(words[j : j + 10]))
+        # wrap into lines of ~10 words (joining list slices, not
+        # np.str_ slices — same bytes, far cheaper)
+        wl = words.tolist()
+        for j in range(0, len(wl), 10):
+            lines.append("    " + " ".join(wl[j : j + 10]))
         if rng.random() < 0.25:
             lines.append(
                 f"    # refer to section {int(rng.integers(1, 9))}."
@@ -117,14 +125,29 @@ REPO_FILES_SCHEMA = "repo string, path string, commit string, lang string, conte
 
 
 def generate_repo_files(
-    spark: SparkSession, n_files: int, num_partitions: int | None = None
+    spark: SparkSession,
+    n_files: int,
+    num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distributed deterministic corpus of ``n_files`` source files.
 
     ``content_sha`` is attached here, at ingest, and carried through
     every derived table (SURVEY.md §1.2 per-row invariant).
+
+    ``materialize``: persist the generated rows so downstream
+    multi-pass consumers evaluate the Python generator ONCE. Without
+    it, ``with_doc_ids`` alone re-runs generation three times (the
+    range-partitioner sampling job, the pinned key-table
+    materialization, and the content join pass) — measured 15.3 s vs
+    6.2 s end-to-end at 20k files (tools/profile_gen_r6.py). The
+    cache registers under Spark's plan-keyed CacheManager, so
+    repeated calls with the same ``n_files`` share one entry.
     """
     parts = num_partitions or max(4, min(64, n_files // 256 or 1))
     base = spark.range(0, n_files, 1, parts)
     df = base.mapInPandas(_gen_batch, schema=REPO_FILES_SCHEMA)
-    return df.withColumn("content_sha", F.sha2(F.col("content"), 256))
+    df = df.withColumn("content_sha", F.sha2(F.col("content"), 256))
+    if materialize:
+        df = df.persist()
+    return df

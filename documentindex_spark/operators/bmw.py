@@ -282,6 +282,50 @@ BMW_RESULT_SCHEMA = T.StructType(
     ]
 )
 
+# Above this many (query, term) pairs the literal-map projection's
+# expression tree stops being free to plan; large batches (the 20k+
+# query batch-QPS path) take the broadcast-join route instead.
+_LITMAP_MAX_PAIRS = 4096
+
+
+def _attach_query_ids(
+    seg_rows: DataFrame,
+    terms_by_query: dict[int, list[str]],
+    spark: SparkSession,
+) -> DataFrame:
+    """Tag each pruned segment row with the query_id(s) whose term it
+    matches.
+
+    For interactive batch sizes this is a LITERAL term→[query_id] map
+    projection (create_map + explode): zero exchanges and no
+    createDataFrame round-trip, where the old broadcast-join route
+    paid a driver→JVM table ship plus a BroadcastExchange job per
+    call — measured ~350 ms of the ~740 ms single-query latency
+    (tools/profile_query_r6.py). Row-identical to the join: both emit
+    one row per (matching segment, subscribed query)."""
+    pairs = [(qid, t) for qid, ts in terms_by_query.items() for t in ts]
+    if len(pairs) > _LITMAP_MAX_PAIRS:
+        qdf = spark.createDataFrame(pairs, "query_id long, term string")
+        return seg_rows.join(F.broadcast(qdf), "term")
+    term_to_qids: dict[str, list[int]] = {}
+    for qid, t in pairs:
+        term_to_qids.setdefault(t, []).append(qid)
+    mapping = F.create_map(
+        *[
+            part
+            for t in sorted(term_to_qids)
+            for part in (
+                F.lit(t),
+                F.array(
+                    *[F.lit(q).cast("long") for q in term_to_qids[t]]
+                ),
+            )
+        ]
+    )
+    return seg_rows.withColumn(
+        "query_id", F.explode(mapping[F.col("term")])
+    )
+
 
 def load_query_postings(
     spark: SparkSession, index_path: str, terms_by_query: dict[int, list[str]]
@@ -331,12 +375,8 @@ def bmw_topk(
     it trades some decode work for parallelism — results identical.
     """
     terms_by_query = {qid: query_terms(q) for qid, q in queries.items()}
-    pairs = [
-        (qid, t) for qid, ts in terms_by_query.items() for t in ts
-    ]
-    if not pairs:
+    if not any(terms_by_query.values()):
         return spark.createDataFrame([], BMW_RESULT_SCHEMA)
-    qdf = spark.createDataFrame(pairs, "query_id long, term string")
     if isinstance(index, str):
         seg_rows = load_query_postings(spark, index, terms_by_query)
     else:
@@ -350,7 +390,15 @@ def bmw_topk(
         seg_rows = index.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
         )
-    joined = seg_rows.join(F.broadcast(qdf), "term")
+
+    # NOTE (round-6 A/B, tools/profile_query_r6.py): an adaptive
+    # "collect-and-score-on-the-driver" route for small queries was
+    # measured SLOWER than this distributed plan (~430 ms vs ~250 ms
+    # per query at 20k docs): the size-guard aggregate job plus the
+    # createDataFrame(result) round-trip cost more than the one tiny
+    # exchange they replaced. Callers who want the driver-local path
+    # use bmw_serve / bmw_serve_arrow explicitly.
+    joined = _attach_query_ids(seg_rows, terms_by_query, spark)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
@@ -508,9 +556,6 @@ def bmw_topk_boolean(
             pairs.append((qid, t, 1.0, True))
     if not any(not p[3] for p in pairs):
         return spark.createDataFrame([], BMW_RESULT_SCHEMA)
-    qdf = spark.createDataFrame(
-        pairs, "query_id long, term string, boost double, neg boolean"
-    )
     all_terms = sorted({p[1] for p in pairs})
     buckets = sorted({term_bucket(t) for t in all_terms})
     if isinstance(index, str):
@@ -520,11 +565,44 @@ def bmw_topk_boolean(
     seg_rows = postings.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
     )
-    joined = seg_rows.join(F.broadcast(qdf), "term")
+    if len(pairs) > _LITMAP_MAX_PAIRS:
+        qdf = spark.createDataFrame(
+            pairs, "query_id long, term string, boost double, neg boolean"
+        )
+        joined = seg_rows.join(F.broadcast(qdf), "term")
+    else:
+        # literal term → [(query_id, boost, neg)] projection — same
+        # zero-exchange attachment as _attach_query_ids, with the
+        # boolean metadata riding in the struct.
+        by_term: dict[str, list] = {}
+        for qid, t, b, neg in pairs:
+            by_term.setdefault(t, []).append(
+                F.struct(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    F.lit(b).alias("boost"),
+                    F.lit(neg).alias("neg"),
+                )
+            )
+        mapping = F.create_map(
+            *[
+                part
+                for t in sorted(by_term)
+                for part in (F.lit(t), F.array(*by_term[t]))
+            ]
+        )
+        joined = (
+            seg_rows.withColumn(
+                "_q", F.explode(mapping[F.col("term")])
+            )
+            .withColumn("query_id", F.col("_q.query_id"))
+            .withColumn("boost", F.col("_q.boost"))
+            .withColumn("neg", F.col("_q.neg"))
+            .drop("_q")
+        )
 
     if band_size is None and any(p[3] for p in pairs):
         neg_hot = (
-            seg_rows.join(F.broadcast(qdf.filter("neg")), "term")
+            joined.filter("neg")
             .groupBy("query_id")
             .agg(F.sum("n_postings").alias("neg_postings"))
             .filter(F.col("neg_postings") > max_neg_postings)
@@ -614,7 +692,6 @@ def score_threshold_all(
     same as bmw_topk_local / the DuckDB oracle), so results are
     value-identical to the heap path, not just rank-identical."""
     terms_by_query = {qid: query_terms(q) for qid, q in queries.items()}
-    pairs = [(qid, t) for qid, ts in terms_by_query.items() for t in ts]
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
@@ -622,9 +699,8 @@ def score_threshold_all(
             T.StructField("score", T.DoubleType()),
         ]
     )
-    if not pairs:
+    if not any(terms_by_query.values()):
         return spark.createDataFrame([], out_schema)
-    qdf = spark.createDataFrame(pairs, "query_id long, term string")
     if isinstance(index, str):
         seg_rows = load_query_postings(spark, index, terms_by_query)
     else:
@@ -633,7 +709,7 @@ def score_threshold_all(
         seg_rows = index.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
         )
-    joined = seg_rows.join(F.broadcast(qdf), "term")
+    joined = _attach_query_ids(seg_rows, terms_by_query, spark)
 
     post_schema = T.StructType(
         [
@@ -746,7 +822,12 @@ def bmw_serve(
     terms = query_terms(query)
     if not terms:
         return []
-    rows = postings.filter(F.col("term").isin(terms)).collect()
+    # bucket predicate alongside term: partition pruning on a cold
+    # parquet-backed frame, per-batch stats pruning on a persisted one.
+    buckets = sorted({term_bucket(t) for t in terms})
+    rows = postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    ).collect()
     total = sum(r["n_postings"] for r in rows)
     if total > max_collect_postings:
         raise ValueError(

@@ -101,6 +101,33 @@ def term_bucket(term: str) -> int:
     return zlib.crc32(term.encode("utf-8")) % NUM_TERM_BUCKETS
 
 
+def write_bucketed(
+    df: DataFrame, path: str, sort_cols: tuple[str, ...] = ("term", "seg_idx")
+) -> None:
+    """Write a bucket-partitioned table with ONE file per bucket,
+    term-clustered rows.
+
+    Without the repartition, every encode task writes a sliver into
+    every bucket it touches: measured 1,347 files for a 90 MB index at
+    20k docs (tools/profile_encode_r6.py), which costs the build
+    open/commit overhead (7.5 s → 4.3 s for the write) and costs every
+    later reader a 337-task scan (each query over the resident index
+    scheduled 337 tasks; 32 after). Hashing on the partition column
+    lands each bucket's rows in exactly one task → one file; the
+    within-file sort by term makes parquet row-group min/max stats
+    tight, so term-pruned reads (pyarrow serve path, cold query scans)
+    skip non-matching row groups. Partition count stays
+    shuffle.partitions/AQE-derived — nothing here is tuned to the
+    local core count."""
+    (
+        df.repartition("bucket")
+        .sortWithinPartitions("bucket", *sort_cols)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def _segment_to_dict(seg: Segment, seg_idx: int) -> dict:
     return {
         "term": seg.term,
@@ -248,6 +275,114 @@ def merge_segments(
     )
 
 
+# ------------------------------------- map-side partial encode path
+
+
+def _mapside_partial_fn(projected_cols: list[str]):
+    """Whole-partition partial encoder for ``build_segments_mapside``:
+    accumulate each term's (doc_id, tf, impact) rows across the
+    partition's Arrow batches, sort locally, emit ONE compressed
+    partial segment per (term, partition). Raw TF rows never leave
+    the map task — only blobs cross the exchange (guide §2.3
+    "shuffle keys and metadata instead of payloads")."""
+
+    def _partials(it):
+        acc: dict[str, list[pd.DataFrame]] = {}
+        dfs: dict[str, int] = {}
+        for pdf in it:
+            for term, grp in pdf.groupby("term", sort=False):
+                acc.setdefault(term, []).append(grp)
+                if term not in dfs:
+                    dfs[term] = int(grp["df"].iloc[0])
+        rows = []
+        for term, parts in acc.items():
+            g = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            g = g.sort_values("doc_id")
+            seg = encode_segment(
+                term=term,
+                df=dfs[term],
+                doc_ids=g["doc_id"].to_numpy(np.int64),
+                tfs=g["tf"].to_numpy(np.int64),
+                impacts=g["impact"].to_numpy(np.float64),
+            )
+            rows.append(_segment_to_dict(seg, 0))
+        if rows:
+            yield pd.DataFrame(rows)[projected_cols]
+        else:
+            yield pd.DataFrame({c: [] for c in projected_cols})
+
+    return _partials
+
+
+def _merge_term_mapside_fn(band_size: int):
+    def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
+        """All partial segments of one term (one per map partition,
+        doc ranges OVERLAPPING in general) → final segments. Unlike
+        the range-sharded merge, runs are concatenated and re-sorted
+        by doc_id (unique per term, so the sort is deterministic
+        regardless of shuffle arrival order)."""
+        term = pdf["term"].iloc[0]
+        df_ = int(pdf["df"].iloc[0])
+        total = int(pdf["n_postings"].sum())
+        if (
+            len(pdf) == 1
+            and total <= MAX_SEGMENT_POSTINGS
+            and int(pdf["min_doc_id"].iloc[0]) // band_size
+            == int(pdf["max_doc_id"].iloc[0]) // band_size
+        ):
+            out = pdf.iloc[[0]].copy()
+            out["seg_idx"] = 0
+            out["bucket"] = term_bucket(term)
+            return out[[f.name for f in INDEX_SCHEMA.fields]]
+        docs, tfs, imps = [], [], []
+        for _, row in pdf.iterrows():
+            d, t, i = row_to_segment(row).decode_all()
+            docs.append(d)
+            tfs.append(t)
+            imps.append(i)
+        doc_ids = np.concatenate(docs)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        tfs = np.concatenate(tfs)[order]
+        imps = np.concatenate(imps)[order]
+        assert bool(np.all(np.diff(doc_ids) > 0)), f"dup doc_id {term!r}"
+        return _encode_runs(term, df_, doc_ids, tfs, imps, band_size)
+
+    return _merge_term
+
+
+def build_segments_mapside(
+    impact_tf: DataFrame,
+    n_docs: int,
+    postings_per_shard: int = POSTINGS_PER_SHARD,
+    band_size: int = DOC_BAND_SIZE,
+) -> DataFrame:
+    """build_segments with the encode moved BELOW the exchange.
+
+    One pass: mapInPandas partial-encodes each map partition's rows
+    into per-term compressed runs (NO shuffle — narrow over the tf
+    scan), then a single groupBy(term) moves blobs only and merges.
+    vs the grouped path, the exchange carries ~compressed-index bytes
+    instead of raw (doc_id, term, tf, impact, df) rows, and the
+    impact subtree is scanned ONCE (the old single/hot union scanned
+    it twice). Final segment bytes are identical (the merge re-sorts
+    by doc_id and re-encodes with the same splitter; asserted in
+    tests/test_postings_mapside.py).
+
+    ``postings_per_shard`` is unused here (no salting needed: partial
+    encode is bounded by map-partition size, the merge by term like
+    the sharded merge) — kept for signature compatibility.
+    """
+    cols = ["term", "df", "doc_id", "tf", "impact"]
+    partial_cols = [f.name for f in SEGMENT_SCHEMA.fields]
+    partial = impact_tf.select(*cols).mapInPandas(
+        _mapside_partial_fn(partial_cols), schema=SEGMENT_SCHEMA
+    )
+    return partial.groupBy("term").applyInPandas(
+        _merge_term_mapside_fn(band_size), schema=INDEX_SCHEMA
+    )
+
+
 # --------------------------------------------- adaptive single-pass
 
 
@@ -286,13 +421,24 @@ def build_segments(
 
     Both paths produce identical bytes for a given term (asserted in
     tests), so the split is purely physical.
+
+    The two branches consume ONE shared ``repartition("term")``
+    exchange: without it, each branch's filter pushed into its own
+    subtree and the tf scan + impact joins evaluated TWICE (union
+    branches share nothing unless the subplans are identical). Hash
+    partitioning on ``term`` satisfies the single-path groupBy's
+    distribution, so no second exchange appears for the tail, and
+    AQE's stage reuse materializes the common shuffle once — measured
+    30.8 s → 27.9 s at 200k docs with byte-identical output and
+    unchanged shuffle volume (tools/bench_encode_ab_r6.py).
     """
-    single = impact_tf.filter(
+    common = impact_tf.repartition("term")
+    single = common.filter(
         F.col("df") <= postings_per_shard
     ).groupBy("term").applyInPandas(
         _encode_final_fn(band_size), schema=INDEX_SCHEMA
     )
-    hot = impact_tf.filter(F.col("df") > postings_per_shard)
+    hot = common.filter(F.col("df") > postings_per_shard)
     merged = merge_segments(
         build_partial_segments(hot, n_docs, postings_per_shard), band_size
     )
@@ -398,13 +544,16 @@ def build_segments_keyed(
 ) -> DataFrame:
     """build_segments over (doc_id, tkey, bucket, tf, impact, df) —
     same adaptive single-pass/salted split, int64 group keys, term
-    column left '' for the dictionary join in plans/build_index.py."""
-    single = impact_tf_k.filter(
+    column left '' for the dictionary join in plans/build_index.py.
+    Shares one tkey exchange across the branches like
+    build_segments."""
+    common = impact_tf_k.repartition("tkey")
+    single = common.filter(
         F.col("df") <= postings_per_shard
     ).groupBy("tkey").applyInPandas(
         _encode_final_keyed_fn(band_size), schema=KEYED_SEGMENT_SCHEMA
     )
-    hot = impact_tf_k.filter(F.col("df") > postings_per_shard)
+    hot = common.filter(F.col("df") > postings_per_shard)
     n_shards = F.ceil(F.col("df") / F.lit(postings_per_shard))
     shard_width = F.ceil(F.lit(n_docs) / n_shards)
     salted = hot.withColumn(

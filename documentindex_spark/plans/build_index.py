@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 from ..constants import DOC_BAND_SIZE, NUM_TERM_BUCKETS, POSTINGS_PER_SHARD
 from ..functions.tokenize import term_frequencies_colocated
 from ..operators.bm25 import impacts
-from ..operators.postings import INDEX_SCHEMA, build_segments
+from ..operators.postings import (
+    INDEX_SCHEMA,
+    build_segments,
+    write_bucketed,
+)
 from ..operators.stats import CorpusStats, corpus_stats, document_frequencies
 from .checkpoint import Manifest, stage_fingerprint
 from .metrics import delta as _metrics_delta
@@ -276,17 +280,20 @@ def build_index(
                     F.broadcast(tdict.select("tkey", "term")), "tkey"
                 ).select(*[f.name for f in INDEX_SCHEMA.fields])
             else:
+                grp = (
+                    impact_b
+                    if len(buckets) == NUM_TERM_BUCKETS
+                    else impact_b.filter(F.col("bucket").isin(buckets))
+                )
                 part = build_segments(
-                    impact_b.filter(F.col("bucket").isin(buckets)).drop(
-                        "bucket"
-                    ),
+                    grp.drop("bucket"),
                     stats.n_docs,
                     postings_per_shard,
                     band_size,
                 )
             # one subdir per group; globally still partitioned by bucket
             gpath = os.path.join(postings_path, f"group={gid}")
-            part.write.mode("overwrite").partitionBy("bucket").parquet(gpath)
+            write_bucketed(part, gpath)
             rows = spark.read.parquet(gpath).count()
             man.record_partition(
                 "postings", gid, rows, gpath, (time.time() - t0) * 1000

@@ -330,7 +330,7 @@ def append_documents_stale(
 
     from ..constants import POSTINGS_PER_SHARD
     from ..operators.bm25 import idf_col, tf_norm_col
-    from ..operators.postings import build_segments
+    from ..operators.postings import build_segments, write_bucketed
     from .metrics import delta as _metrics_delta
     from .metrics import executor_totals as _executor_totals
 
@@ -417,7 +417,7 @@ def append_documents_stale(
         built.band_size,
     )
     gpath = os.path.join(postings_path, f"group={gid}")
-    seg.write.mode("overwrite").partitionBy("bucket").parquet(gpath)
+    write_bucketed(seg, gpath)
     n_segs = spark.read.parquet(gpath).count()
 
     # 4. stamp: manifest stage record + stats.json provenance (frozen

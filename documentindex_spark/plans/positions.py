@@ -37,6 +37,7 @@ from ..constants import NUM_TERM_BUCKETS, TOPK_DEFAULT
 from ..functions.tokenize import tokenize
 from ..operators.bm25 import impacts
 from ..operators.phrase import phrase_words
+from ..operators.postings import write_bucketed
 from ..operators.stats import corpus_stats, document_frequencies
 
 
@@ -79,7 +80,7 @@ def build_positions_table(
         .select("bucket", "term", "doc_id", "impact", "positions")
     )
     path = os.path.join(out_dir, "positions")
-    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    write_bucketed(out, path, sort_cols=("term", "doc_id"))
     return path
 
 
