@@ -286,7 +286,13 @@ def search_after(
     from pyspark.sql.window import Window
 
     rscore = F.round(F.col("score"), 6)
-    cs = F.lit(round(cursor_score, 6))
+    # round the cursor INSIDE the plan so both comparands use Spark's
+    # HALF_UP — Python round() is banker's rounding, and an unrounded
+    # caller cursor landing on a .5 boundary at the 7th digit would
+    # mismatch the boundary row across pages (round-5 advice). For
+    # cursors taken from returned pages (the documented contract) the
+    # two agree.
+    cs = F.round(F.lit(float(cursor_score)), 6)
     after = scored.filter(
         (rscore < cs)
         | ((rscore == cs) & (F.col("doc_id") > F.lit(cursor_doc_id)))

@@ -78,10 +78,17 @@ def delete_documents(
     # would leave the over-cap tombstone set durably applied for any
     # later Engine.open / concurrent reader (round-4 advice).
     projected = frozenset(load_tombstones(spark, out_dir) | set(ids))
-    if len(projected) > max_tombstone_frac * built.n_docs:
+    # denominator matches Engine.maintenance_stats: n_docs_total when
+    # stale appends exist (round-5 advice — the cap previously used
+    # the frozen n_docs while maintain() used the appended total, so
+    # the two policies could disagree after stale appends).
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        _meta = json.load(f)
+    n_total = int(_meta.get("n_docs_total", built.n_docs))
+    if len(projected) > max_tombstone_frac * n_total:
         raise RuntimeError(
             f"{len(projected)} tombstones would exceed "
-            f"{max_tombstone_frac:.0%} of {built.n_docs} docs — "
+            f"{max_tombstone_frac:.0%} of {n_total} docs — "
             "compact_index() before deleting more"
         )
     df = spark.createDataFrame([(d,) for d in ids], "doc_id long")

@@ -293,14 +293,18 @@ def append_documents_stale(
         return BuiltIndex.open(out_dir)  # replay (foreachBatch redelivery)
 
     # ---- write-ahead record: crash between any append and the stamp
-    # leaves orphans; retry (same input_id) removes files/dirs not in
-    # the pre-append listing, INCLUDING the pinned postings group dir
-    # (re-listing on retry would skip past a half-written group and
-    # leave it live in the read path).
+    # leaves orphans; the next append — ANY input_id — removes
+    # files/dirs not in the pre-append listing, INCLUDING the pinned
+    # postings group dir (re-listing on retry would skip past a
+    # half-written group and leave it live in the read path). The
+    # cleanup must not be gated on input_id: `_pending_stale` is a
+    # single slot, so append B starting after append A's crash would
+    # otherwise overwrite A's record and permanently leak A's partial
+    # docs/tf/dl rows into the live tables (round-5 advice, medium).
+    # Only the GROUP ID is reused input_id-conditionally.
     pend = man.stages.get("_pending_stale")
-    if pend is not None and pend.get("input_id") == input_id:
-        gid = pend["group"]
-        gdir = os.path.join(postings_path, f"group={gid}")
+    if pend is not None:
+        gdir = os.path.join(postings_path, f"group={pend['group']}")
         if os.path.exists(gdir):
             shutil.rmtree(gdir)
         for sub, keep in pend["files"].items():
@@ -315,6 +319,8 @@ def append_documents_stale(
                         shutil.rmtree(orphan)
                     else:
                         os.remove(orphan)
+    if pend is not None and pend.get("input_id") == input_id:
+        gid = pend["group"]
     else:
         gid = _next_group_id(postings_path)
     man.stages["_pending_stale"] = {
@@ -423,6 +429,26 @@ def append_documents_stale(
     # 4. stamp: manifest stage record + stats.json provenance (frozen
     # n_docs/avgdl untouched), clearing the write-ahead record in the
     # same atomic save.
+    # stats.json provenance goes FIRST: a crash between the two writes
+    # then leaves a pending (retryable) append, not a stamped-complete
+    # append whose replay path would return early with stale_frac
+    # under-reported forever (round-5 advice, low). The entry list is
+    # keyed by input_id so a retry never double-counts, and
+    # n_docs_total is re-derived from the entries rather than
+    # incremented.
+    stats_p = os.path.join(out_dir, "stats.json")
+    with open(stats_p) as f:
+        meta = json.load(f)
+    entries = [
+        e for e in meta.get("stale_appends", []) if e["input_id"] != input_id
+    ]
+    entries.append({"input_id": input_id, "n_docs": n_new, "group": gid})
+    meta["stale_appends"] = entries
+    meta["n_docs_total"] = int(meta["n_docs"]) + sum(
+        int(e["n_docs"]) for e in entries
+    )
+    with open(stats_p, "w") as f:
+        json.dump(meta, f)
     man.stages[stage_key] = {
         "status": "complete",
         "group": gid,
@@ -433,15 +459,6 @@ def append_documents_stale(
     }
     man.stages.pop("_pending_stale", None)
     man.save()
-    stats_p = os.path.join(out_dir, "stats.json")
-    with open(stats_p) as f:
-        meta = json.load(f)
-    meta.setdefault("stale_appends", []).append(
-        {"input_id": input_id, "n_docs": n_new, "group": gid}
-    )
-    meta["n_docs_total"] = int(meta.get("n_docs_total", meta["n_docs"])) + n_new
-    with open(stats_p, "w") as f:
-        json.dump(meta, f)
     return BuiltIndex.open(out_dir)
 
 
