@@ -177,7 +177,12 @@ def test_engine_close_releases_executor_memory(spark, tmp_path_factory):
     # id assignment scoped to the engine's out_dir: close() releases
     # exactly this scope's pins (round-3 advice — a global release
     # could unpin another live engine's intermediates)
-    files = with_doc_ids(generate_repo_files(spark, 40), scope=out).cache()
+    # materialize=False: the generator's own build-pipeline persist is
+    # a separate, caller-owned cache — this test counts the pins that
+    # Engine.close() must release, so keep the corpus out of the tally.
+    files = with_doc_ids(
+        generate_repo_files(spark, 40, materialize=False), scope=out
+    ).cache()
     files.count()
     eng = Engine.index(spark, files, out, input_id="rf@40-close",
                        bucket_groups=1).persist()

@@ -88,7 +88,10 @@ def test_release_id_caches_frees_pinned_ranges(spark):
     release_id_caches()  # start clean
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
-    files = generate_repo_files(spark, 80)
+    # materialize=False: this test tallies the id-range pins that
+    # release_id_caches() owns; the generator's build-pipeline persist
+    # is a separate caller-owned cache and would skew the count.
+    files = generate_repo_files(spark, 80, materialize=False)
     out = with_doc_ids(files).cache()
     got = sorted(r["doc_id"] for r in out.collect())
     assert got == list(range(80))
