@@ -825,9 +825,17 @@ def bmw_serve(
     # bucket predicate alongside term: partition pruning on a cold
     # parquet-backed frame, per-batch stats pruning on a persisted one.
     buckets = sorted({term_bucket(t) for t in terms})
-    rows = postings.filter(
-        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-    ).collect()
+    # toArrow() collect: the segment rows are mostly binary blobs, and
+    # the Arrow path moves them as columnar buffers where Row collect
+    # deserializes each through pickled Rows — measured p50 107 → 89 ms
+    # at 20k docs, identical results (tools/profile_serve_r6.py).
+    rows = (
+        postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        .toArrow()
+        .to_pylist()
+    )
     total = sum(r["n_postings"] for r in rows)
     if total > max_collect_postings:
         raise ValueError(
