@@ -396,8 +396,14 @@ def bmw_topk(
     # measured SLOWER than this distributed plan (~430 ms vs ~250 ms
     # per query at 20k docs): the size-guard aggregate job plus the
     # createDataFrame(result) round-trip cost more than the one tiny
-    # exchange they replaced. Callers who want the driver-local path
-    # use bmw_serve / bmw_serve_arrow explicitly.
+    # exchange they replaced. (At 200k docs a GUARDLESS collect
+    # variant measures faster — 167 vs 357 ms — but without the guard
+    # job the driver collects before knowing the posting volume,
+    # which is exactly the unbounded-driver-materialization this
+    # distributed lane exists to avoid; with the guard the win
+    # disappears.) Callers who want the driver-local path use
+    # bmw_serve / bmw_serve_arrow explicitly — those carry the
+    # max_collect_postings cap as their contract.
     joined = _attach_query_ids(seg_rows, terms_by_query, spark)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
